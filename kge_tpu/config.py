@@ -1,0 +1,577 @@
+"""Yaml-driven configuration system.
+
+A fresh implementation of the configuration semantics of the reference
+(kge/config.py): nested-dict options with dotted-key access, typed ``set`` with
+string coercion, type-hierarchy default lookup (``get_default``), module yaml
+imports, ``+++`` extensible keys, experiment-folder management, and structured
+logging/tracing (``kge.log`` / ``trace.yaml``).
+"""
+
+from __future__ import annotations
+
+import copy
+import datetime
+import os
+import time
+import uuid
+from enum import Enum
+from typing import Any, Dict, List, Optional, Union
+
+import yaml
+
+from kge_tpu import misc
+
+
+class _Trace:
+    """Cheap single-line-yaml trace writer (see Config.trace)."""
+
+
+class Config:
+    """Configuration options of a job.
+
+    All options are stored in a nested dict ``self.options`` and are accessed
+    with dotted keys (e.g. ``train.optimizer.default.type``).
+    """
+
+    Overwrite = Enum("Overwrite", "Yes No Error DefaultOnly")
+
+    def __init__(self, folder: Optional[str] = None, load_default: bool = True):
+        if load_default:
+            with open(
+                os.path.join(os.path.dirname(__file__), "config-default.yaml"), "r"
+            ) as f:
+                self.options: Dict[str, Any] = yaml.safe_load(f)
+        else:
+            self.options = {}
+        self.folder = folder  # main folder (config file, checkpoints, ...)
+        self.log_folder: Optional[str] = None  # alternative folder for logs/traces
+        self.log_prefix: Optional[str] = None
+
+    # -- ACCESS ---------------------------------------------------------------
+
+    def get(self, key: str, remove_plusplusplus: bool = True) -> Any:
+        """Obtain value of specified dotted key."""
+        result = self.options
+        for name in key.split("."):
+            try:
+                result = result[name]
+            except (KeyError, TypeError):
+                raise KeyError(f"Error accessing {name} for key {key}")
+
+        if remove_plusplusplus and isinstance(result, dict):
+
+            def do_remove_plusplusplus(option):
+                if isinstance(option, dict):
+                    option.pop("+++", None)
+                    for values in option.values():
+                        do_remove_plusplusplus(values)
+
+            result = copy.deepcopy(result)
+            do_remove_plusplusplus(result)
+
+        return result
+
+    def exists(self, key: str, remove_plusplusplus: bool = True) -> bool:
+        try:
+            self.get(key, remove_plusplusplus)
+            return True
+        except KeyError:
+            return False
+
+    def get_default(self, key: str) -> Any:
+        """Like ``get``, but if ``key`` is not present, walk the type hierarchy.
+
+        When a prefix ``a.b`` of the key has a sibling option ``a.b.type`` set
+        to ``T``, the remainder of the key is looked up under ``T`` instead
+        (recursively). This is how e.g. ``complex.entity_embedder.dropout``
+        falls back to ``lookup_embedder.dropout`` (reference kge/config.py:92).
+        """
+        try:
+            return self.get(key)
+        except KeyError as e:
+            last_dot_index = key.rfind(".")
+            if last_dot_index < 0:
+                raise e
+            parent = key[:last_dot_index]
+            field = key[last_dot_index + 1 :]
+            # walk from longest prefix down to shortest
+            while True:
+                try:
+                    parent_type = self.get_default(parent + "." + "type")
+                    try:
+                        return self.get_default(parent_type + "." + field)
+                    except KeyError:
+                        pass
+                except KeyError:
+                    pass
+                last_dot_index = parent.rfind(".")
+                if last_dot_index < 0:
+                    raise e
+                field = parent[last_dot_index + 1 :] + "." + field
+                parent = parent[:last_dot_index]
+
+    def get_first_present_key(self, *keys: str, use_get_default: bool = False) -> str:
+        for key in keys:
+            if use_get_default:
+                try:
+                    self.get_default(key)
+                    return key
+                except KeyError:
+                    pass
+            elif self.exists(key):
+                return key
+        raise KeyError(f"none of the following keys found: {keys}")
+
+    def get_first(self, *keys: str, use_get_default: bool = False) -> Any:
+        if use_get_default:
+            return self.get_default(
+                self.get_first_present_key(*keys, use_get_default=True)
+            )
+        else:
+            return self.get(self.get_first_present_key(*keys))
+
+    # -- MODIFICATION ---------------------------------------------------------
+
+    def set(
+        self,
+        key: str,
+        value,
+        create: bool = False,
+        overwrite=Overwrite.Yes,
+        log: bool = False,
+    ) -> Any:
+        """Set value of specified dotted key.
+
+        Type-checks the new value against the current value, coercing strings
+        to numbers and ints to floats where safe (reference kge/config.py:165).
+        """
+        from kge_tpu.misc import is_number
+
+        splits = key.split(".")
+        data = self.options
+
+        # flatten path and see if it is valid to be set in this config
+        path = []
+        for i in range(len(splits) - 1):
+            create = create or "+++" in data
+            if create and splits[i] not in data:
+                data[splits[i]] = dict()
+            path.append(splits[i])
+            new_data = data[splits[i]]
+            if not isinstance(new_data, dict):
+                raise ValueError(
+                    "cannot set {} because {} is already a value".format(
+                        key, ".".join(path)
+                    )
+                )
+            data = new_data
+
+        # check correctness of value
+        try:
+            current_value = data.get(splits[-1])
+        except AttributeError:
+            raise AttributeError(f"These config entries {data} {path} caused an error.")
+
+        if current_value is None:
+            if not create and "+++" not in data:
+                raise KeyError(
+                    f"key {key} not present and no new keys allowed here"
+                )
+
+            if isinstance(value, str) and is_number(value, int):
+                value = int(value)
+            elif isinstance(value, str) and is_number(value, float):
+                value = float(value)
+        else:
+            if (
+                isinstance(value, str)
+                and isinstance(current_value, float)
+                and is_number(value, float)
+            ):
+                value = float(value)
+            elif (
+                isinstance(value, str)
+                and isinstance(current_value, int)
+                and is_number(value, int)
+            ):
+                value = int(value)
+            if type(value) != type(current_value):
+                if isinstance(value, int) and isinstance(current_value, float):
+                    value = float(value)
+                elif isinstance(value, bool) and isinstance(current_value, str):
+                    value = str(value)
+                else:
+                    raise ValueError(
+                        "key {} has incorrect type (expected {}, found {})".format(
+                            key, type(current_value), type(value)
+                        )
+                    )
+            if overwrite == Config.Overwrite.No:
+                return current_value
+            if overwrite == Config.Overwrite.Error and value != current_value:
+                raise ValueError(f"key {key} cannot be overwritten")
+
+        # all fine, set value
+        data[splits[-1]] = value
+        if log:
+            self.log(f"Set {key}={value}")
+        return value
+
+    def set_all(self, new_options: Dict[str, Any], create=False, overwrite=Overwrite.Yes):
+        for key, value in Config.flatten(new_options).items():
+            self.set(key, value, create, overwrite)
+
+    def _import(self, module_name: str):
+        """Merge the yaml options of configuration module ``module_name``.
+
+        Searches the directories of the python modules listed under config key
+        ``modules`` for a file ``<module_name>.yaml`` and merges it into this
+        configuration as defaults (existing values win).
+        """
+        import_path = None
+        for m in self.get("modules"):
+            try:
+                import_path = misc.filename_in_module(m, f"{module_name}.yaml")
+                break
+            except (FileNotFoundError, ModuleNotFoundError):
+                pass
+        if import_path is None:
+            raise ValueError(f"could not find configuration file {module_name}.yaml")
+
+        with open(import_path, "r") as f:
+            module_options = yaml.safe_load(f)
+
+        # the file may itself request more imports
+        if "import" in module_options:
+            for m in module_options.get("import"):
+                self._import(m)
+            del module_options["import"]
+
+        # add/verify current options (defaults only: user options win)
+        self.set_all(module_options, create=True, overwrite=Config.Overwrite.DefaultOnly)
+
+        # remember the import
+        imports = self.options.get("import", [])
+        if not isinstance(imports, list):
+            imports = [imports]
+        if module_name not in imports:
+            imports.append(module_name)
+        self.options["import"] = list(set(imports))
+
+    def load(
+        self,
+        filename: str,
+        create=False,
+        overwrite=Overwrite.Yes,
+        allow_deprecated=True,
+    ):
+        """Update options with options from the specified yaml file."""
+        with open(filename, "r") as f:
+            new_options = yaml.safe_load(f)
+        if new_options is not None:
+            self.load_options(
+                new_options,
+                create=create,
+                overwrite=overwrite,
+                allow_deprecated=allow_deprecated,
+            )
+
+    def load_options(self, new_options, create=False, overwrite=Overwrite.Yes,
+                     allow_deprecated=True):
+        """Update options with the given options dict."""
+        # import model configurations
+        if "model" in new_options:
+            model = new_options.get("model")
+            if model:
+                self._import(model)
+        if "import" in new_options:
+            imports = new_options.get("import")
+            if not isinstance(imports, list):
+                imports = [imports]
+            for module_name in imports:
+                self._import(module_name)
+            del new_options["import"]
+        if allow_deprecated:
+            new_options = _process_deprecated_options(Config.flatten(new_options), self)
+        self.set_all(new_options, create, overwrite)
+
+    def load_config(self, config: "Config", create=False, overwrite=Overwrite.Yes):
+        self.set_all(config.options, create, overwrite)
+
+    def save(self, filename: str):
+        with open(filename, "w+") as file:
+            file.write(yaml.dump(self.options, default_flow_style=False))
+
+    def save_to(self, checkpoint: Dict) -> Dict:
+        """Adds the config file to a checkpoint dict."""
+        checkpoint["config"] = self
+        return checkpoint
+
+    @staticmethod
+    def flatten(options: Dict[str, Any]) -> Dict[str, Any]:
+        """Return a dict of flattened dotted-key options."""
+        result: Dict[str, Any] = {}
+        Config.__flatten(options, result)
+        return result
+
+    @staticmethod
+    def __flatten(options: Dict[str, Any], result: Dict, prefix=""):
+        for key, value in options.items():
+            fullkey = key if prefix == "" else prefix + "." + key
+            if isinstance(value, dict):
+                Config.__flatten(value, result, prefix=fullkey)
+            else:
+                result[fullkey] = value
+
+    def clone(self, subfolder: Optional[str] = None) -> "Config":
+        """Return a deep copy; optionally resolve folder to a subfolder."""
+        new_config = copy.deepcopy(self)
+        if subfolder is not None:
+            new_config.folder = os.path.join(self.folder, subfolder)
+        return new_config
+
+    # -- LOGGING AND TRACING --------------------------------------------------
+
+    def log(self, msg: str, echo: bool = True, prefix: str = ""):
+        """Add a message to the default log file (and optionally console)."""
+        with open(self.logfile(), "a") as file:
+            for line in msg.splitlines():
+                if prefix:
+                    line = prefix + line
+                if self.log_prefix:
+                    line = self.log_prefix + line
+                if echo:
+                    self.print(line)
+                file.write(f"{datetime.datetime.now()} {line}\n")
+
+    def print(self, *args, **kwargs):
+        """Print unless quiet."""
+        if not self.get("console.quiet"):
+            print(*args, **kwargs)
+
+    def trace(
+        self, echo=False, echo_prefix="", echo_flow=False, log=False, **kwargs
+    ) -> Dict[str, Any]:
+        """Write a set of key-value pairs to the trace file.
+
+        Adds an automatic timestamp and unique ``entry_id``. Each entry is one
+        single-line yaml record (same on-disk format as the reference
+        kge/config.py:462 so that downstream tooling keeps working).
+        """
+        kwargs["timestamp"] = time.time()
+        kwargs["entry_id"] = str(uuid.uuid4())
+        line = yaml.dump(kwargs, width=float("inf"), default_flow_style=True).strip()
+        if echo or log:
+            msg = yaml.dump(kwargs, default_flow_style=echo_flow)
+            if log:
+                self.log(msg, echo, echo_prefix)
+            else:
+                for part in msg.splitlines():
+                    self.print(echo_prefix + part)
+        with open(self.tracefile(), "a") as file:
+            file.write(line + "\n")
+        return kwargs
+
+    # -- FOLDERS AND CHECKPOINTS ----------------------------------------------
+
+    def init_folder(self) -> bool:
+        """Initialize the output folder (write config.yaml). Returns True if
+        the folder was newly created."""
+        if not os.path.exists(self.folder):
+            os.makedirs(self.folder)
+            os.makedirs(os.path.join(self.folder, "config"))
+            self.save(os.path.join(self.folder, "config.yaml"))
+            return True
+        return False
+
+    @staticmethod
+    def create_from(checkpoint: Dict) -> "Config":
+        """Create a config from a checkpoint."""
+        config = Config()
+        if "config" in checkpoint and checkpoint["config"] is not None:
+            config_load = checkpoint["config"]
+            if "model" in config_load.options and config_load.options["model"]:
+                config._import(config_load.options["model"])
+            config.load_config(config_load.clone(), create=True)
+        if "folder" in checkpoint and checkpoint["folder"] is not None:
+            config.folder = checkpoint["folder"]
+        return config
+
+    @staticmethod
+    def from_options(options: Dict[str, Any] = {}, **more_options) -> "Config":
+        config = Config()
+        config.load_options(copy.deepcopy(options))
+        config.load_options(more_options)
+        return config
+
+    def checkpoint_file(self, cpt_id: Union[str, int]) -> str:
+        """Return path of checkpoint file for given id (number or 'best')."""
+        from kge_tpu.misc import is_number
+
+        if is_number(cpt_id, int):
+            return os.path.join(self.folder, "checkpoint_{:05d}.pt".format(int(cpt_id)))
+        else:
+            return os.path.join(self.folder, "checkpoint_{}.pt".format(cpt_id))
+
+    def last_checkpoint_number(self) -> Optional[int]:
+        """Return number of latest checkpoint in the folder, None if there is none."""
+        found_epoch = -1
+        if self.folder and os.path.exists(self.folder):
+            for f in os.listdir(self.folder):
+                if f.startswith("checkpoint_") and f.endswith(".pt"):
+                    digits = f[len("checkpoint_") : -len(".pt")]
+                    if digits.isdigit():
+                        found_epoch = max(found_epoch, int(digits))
+        if found_epoch >= 0:
+            return found_epoch
+        return None
+
+    @staticmethod
+    def best_or_last_checkpoint_file(path: str) -> str:
+        """Return best (if present) or last checkpoint path in ``path``."""
+        config = Config(folder=path, load_default=False)
+        checkpoint_file = config.checkpoint_file("best")
+        if os.path.isfile(checkpoint_file):
+            return checkpoint_file
+        cpt_epoch = config.last_checkpoint_number()
+        if cpt_epoch is not None:
+            return config.checkpoint_file(cpt_epoch)
+        raise FileNotFoundError(f"Could not find checkpoint in {path}")
+
+    # -- CONVENIENCE ----------------------------------------------------------
+
+    def _check(self, key: str, value, allowed_values) -> Any:
+        if value not in allowed_values:
+            raise ValueError(
+                "Illegal value {} for key {}; allowed values are {}".format(
+                    value, key, allowed_values
+                )
+            )
+        return value
+
+    def check(self, key: str, allowed_values) -> Any:
+        """Raise an error if the value of ``key`` is not in ``allowed_values``."""
+        return self._check(key, self.get(key), allowed_values)
+
+    def check_default(self, key: str, allowed_values) -> Any:
+        return self._check(key, self.get_default(key), allowed_values)
+
+    def check_range(self, key: str, min_value, max_value,
+                    min_inclusive=True, max_inclusive=True) -> Any:
+        value = self.get(key)
+        if (
+            value < min_value
+            or (value == min_value and not min_inclusive)
+            or value > max_value
+            or (value == max_value and not max_inclusive)
+        ):
+            raise ValueError(
+                "Illegal value {} for key {}; must be in range {}{},{}{}".format(
+                    value,
+                    key,
+                    "[" if min_inclusive else "(",
+                    min_value,
+                    max_value,
+                    "]" if max_inclusive else ")",
+                )
+            )
+        return value
+
+    def logdir(self) -> str:
+        return self.log_folder if self.log_folder else self.folder
+
+    def logfile(self) -> str:
+        folder = self.logdir()
+        if folder:
+            return os.path.join(folder, "kge.log")
+        else:
+            return os.devnull
+
+    def tracefile(self) -> str:
+        folder = self.logdir()
+        if folder:
+            return os.path.join(folder, "trace.yaml")
+        else:
+            return os.devnull
+
+
+class Configurable:
+    """Mix-in class for objects that are configured by a configuration key.
+
+    Provides ``get_option``/``set_option``/``check_option`` scoped to this
+    object's ``configuration_key`` with type-hierarchy defaults.
+    """
+
+    def __init__(self, config: Config, configuration_key: str = None):
+        self._init_configuration(config, configuration_key)
+
+    def has_option(self, name: str) -> bool:
+        try:
+            self.get_option(name)
+            return True
+        except KeyError:
+            return False
+
+    def get_option(self, name: str) -> Any:
+        if self.configuration_key:
+            return self.config.get_default(self.configuration_key + "." + name)
+        else:
+            return self.config.get_default(name)
+
+    def check_option(self, name: str, allowed_values) -> Any:
+        if self.configuration_key:
+            full_name = self.configuration_key + "." + name
+        else:
+            full_name = name
+        return self.config._check(full_name, self.get_option(name), allowed_values)
+
+    def set_option(self, name: str, value, **kwargs) -> Any:
+        if self.configuration_key:
+            return self.config.set(self.configuration_key + "." + name, value, **kwargs)
+        else:
+            return self.config.set(name, value, **kwargs)
+
+    def _init_configuration(self, config: Config, configuration_key: Optional[str]):
+        self.config = config
+        self.configuration_key = configuration_key
+
+
+def _process_deprecated_options(options: Dict[str, Any], config: Config = None):
+    """Rename/delete deprecated keys in a flat options dict.
+
+    The reference maintains ~40 migration rules (kge/config.py:693); here we
+    keep the mechanism plus the renames relevant to configs in the wild.
+    """
+    renames = {
+        # old LibKGE names -> current names (subset that appears in published configs)
+        "negative_sampling.num_negatives_s": "negative_sampling.num_samples.s",
+        "negative_sampling.num_negatives_p": "negative_sampling.num_samples.p",
+        "negative_sampling.num_negatives_o": "negative_sampling.num_samples.o",
+        "negative_sampling.filter_positives_s": "negative_sampling.filtering.s",
+        "negative_sampling.filter_positives_p": "negative_sampling.filtering.p",
+        "negative_sampling.filter_positives_o": "negative_sampling.filtering.o",
+        "train.optimizer_args": "train.optimizer.default.args",
+        "eval.metrics_per_relation_type": "entity_ranking.metrics_per.relation_type",
+        "eval.metrics_per_head_and_tail": "entity_ranking.metrics_per.head_and_tail",
+        "eval.metrics_per_argument_frequency": "entity_ranking.metrics_per.argument_frequency",
+        "eval.filter_with_test": "entity_ranking.filter_with_test",
+        "eval.filter_splits": "entity_ranking.filter_splits",
+        "eval.tie_handling": "entity_ranking.tie_handling.type",
+        "eval.hits_at_k_s": "entity_ranking.hits_at_k_s",
+        "eval.chunk_size": "entity_ranking.chunk_size",
+    }
+    result = {}
+    for key, value in options.items():
+        new_key = key
+        # exact renames
+        if key in renames:
+            new_key = renames[key]
+        # prefix rename: train.optimizer_args.X -> train.optimizer.default.args.X
+        elif key.startswith("train.optimizer_args."):
+            new_key = "train.optimizer.default.args." + key[len("train.optimizer_args."):]
+        elif key == "train.optimizer" and isinstance(value, str):
+            new_key = "train.optimizer.default.type"
+        if new_key != key and config is not None:
+            config.print(f"Renamed deprecated key {key} to {new_key}")
+        result[new_key] = value
+    return result
