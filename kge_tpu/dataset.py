@@ -189,13 +189,19 @@ class Dataset(Configurable):
         cache_file = self._cache_filename(name)
         if cache_file is None or not self.get_option("pickle"):
             return
+        tmpfile = cache_file + f".tmp-{uuid.uuid4().hex[:8]}"
         try:
-            tmpfile = cache_file + f".tmp-{uuid.uuid4().hex[:8]}"
             with open(tmpfile, "wb") as f:
                 pickle.dump(obj, f, protocol=pickle.HIGHEST_PROTOCOL)
             os.replace(tmpfile, cache_file)
         except OSError:
             pass  # cache is an optimization only; ignore readonly folders
+        finally:
+            if os.path.exists(tmpfile):
+                try:
+                    os.remove(tmpfile)
+                except OSError:
+                    pass
 
     # -- low-level file loading ----------------------------------------------
 
