@@ -94,21 +94,27 @@ class Config:
                 raise e
             parent = key[:last_dot_index]
             field = key[last_dot_index + 1 :]
-            # walk from longest prefix down to shortest
-            while True:
+            # iteratively: if parent has a `type`, restart the lookup under
+            # that type name; otherwise move one level up the key path
+            for _ in range(1000):  # guards against type cycles
                 try:
-                    parent_type = self.get_default(parent + "." + "type")
-                    try:
-                        return self.get_default(parent_type + "." + field)
-                    except KeyError:
-                        pass
+                    parent_type = self.get(parent + "." + "type")
+                    new_key = parent_type + "." + field
+                    last_dot_index = new_key.rfind(".")
+                    parent = new_key[:last_dot_index]
+                    field = new_key[last_dot_index + 1 :]
                 except KeyError:
-                    pass
-                last_dot_index = parent.rfind(".")
-                if last_dot_index < 0:
-                    raise e
-                field = parent[last_dot_index + 1 :] + "." + field
-                parent = parent[:last_dot_index]
+                    last_dot_index = parent.rfind(".")
+                    if last_dot_index < 0:
+                        raise e
+                    field = parent[last_dot_index + 1 :] + "." + field
+                    parent = parent[:last_dot_index]
+                    continue
+                try:
+                    return self.get(parent + "." + field)
+                except KeyError:
+                    continue
+            raise KeyError(f"type-hierarchy lookup for {key} did not terminate")
 
     def get_first_present_key(self, *keys: str, use_get_default: bool = False) -> str:
         for key in keys:
@@ -206,7 +212,7 @@ class Config:
                             key, type(current_value), type(value)
                         )
                     )
-            if overwrite == Config.Overwrite.No:
+            if overwrite in (Config.Overwrite.No, Config.Overwrite.DefaultOnly):
                 return current_value
             if overwrite == Config.Overwrite.Error and value != current_value:
                 raise ValueError(f"key {key} cannot be overwritten")

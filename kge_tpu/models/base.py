@@ -1,0 +1,813 @@
+"""Functional model core: embedders, scorers, and the KGE model API.
+
+TPU-first re-design of the reference model layer (kge/model/kge_model.py).
+Models here are *static* objects (configuration, shapes, scoring math) whose
+parameters live in a separate pytree of jax arrays that flows through pure
+functions — so entire training steps jit-compile end-to-end and parameters
+can be sharded over a device mesh. The public scoring API mirrors the
+reference (score_spo/score_sp/score_po/score_so/score_sp_po with combine
+semantics "spo"/"sp_"/"_po"/"s_o", kge_model.py:122-213,663-789) with an
+explicit ``params`` first argument and a ``Ctx`` carrying train-mode state.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Dict, List, NamedTuple, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kge_tpu import misc
+from kge_tpu.config import Config, Configurable
+from kge_tpu.dataset import Dataset
+
+S, P, O = 0, 1, 2
+
+Params = Dict[str, Any]
+
+
+class Ctx(NamedTuple):
+    """Per-call context: train mode (enables dropout), the dropout rng, and an
+    optional ``stats`` collector dict into which stateful layers (batch norm)
+    write their updated running statistics during tracing; the training step
+    merges collected stats back into the parameter pytree outside the gradient
+    computation."""
+
+    train: bool = False
+    rng: Optional[jax.Array] = None
+    stats: Optional[dict] = None
+
+    def fold(self, tag: int) -> "Ctx":
+        if self.rng is None:
+            return self
+        return Ctx(self.train, jax.random.fold_in(self.rng, tag), self.stats)
+
+
+EVAL_CTX = Ctx(False, None)
+
+
+# -- initializer dispatch ------------------------------------------------------
+
+
+def _fans(shape) -> Tuple[int, int]:
+    """fan_in/fan_out with torch.nn.init conventions ([out, in] 2D layout)."""
+    if len(shape) < 2:
+        fan = int(np.prod(shape))
+        return fan, fan
+    receptive = int(np.prod(shape[2:])) if len(shape) > 2 else 1
+    fan_in = shape[1] * receptive
+    fan_out = shape[0] * receptive
+    return fan_in, fan_out
+
+
+def make_initializer(initialize: str, initialize_args: Dict[str, Any]):
+    """Map a torch.nn.init-style name + args to a jax init fn(rng, shape).
+
+    Supports the names used by the reference configs (normal_, uniform_,
+    xavier_uniform_, xavier_normal_, constant_, ones_, zeros_); the automatic
+    ``a = -b`` rule for uniform_ is applied by the caller (see
+    ``Initializer.from_options``).
+    """
+    args = dict(initialize_args or {})
+    args.pop("+++", None)
+
+    if initialize == "normal_":
+        mean = float(args.get("mean", 0.0))
+        std = float(args.get("std", 1.0))
+        return lambda rng, shape, dtype=jnp.float32: (
+            mean + std * jax.random.normal(rng, shape, dtype)
+        )
+    elif initialize == "uniform_":
+        a = float(args.get("a", 0.0))
+        b = float(args.get("b", 1.0))
+        return lambda rng, shape, dtype=jnp.float32: jax.random.uniform(
+            rng, shape, dtype, minval=a, maxval=b
+        )
+    elif initialize == "xavier_uniform_":
+        gain = float(args.get("gain", 1.0))
+
+        def init(rng, shape, dtype=jnp.float32):
+            fan_in, fan_out = _fans(shape)
+            bound = gain * math.sqrt(6.0 / (fan_in + fan_out))
+            return jax.random.uniform(rng, shape, dtype, minval=-bound, maxval=bound)
+
+        return init
+    elif initialize == "xavier_normal_":
+        gain = float(args.get("gain", 1.0))
+
+        def init(rng, shape, dtype=jnp.float32):
+            fan_in, fan_out = _fans(shape)
+            std = gain * math.sqrt(2.0 / (fan_in + fan_out))
+            return std * jax.random.normal(rng, shape, dtype)
+
+        return init
+    elif initialize == "kaiming_uniform_":
+        a = float(args.get("a", 0.0))
+
+        def init(rng, shape, dtype=jnp.float32):
+            fan_in, _ = _fans(shape)
+            gain = math.sqrt(2.0 / (1 + a ** 2))
+            bound = gain * math.sqrt(3.0 / fan_in)
+            return jax.random.uniform(rng, shape, dtype, minval=-bound, maxval=bound)
+
+        return init
+    elif initialize == "constant_":
+        val = float(args.get("val", 0.0))
+        return lambda rng, shape, dtype=jnp.float32: jnp.full(shape, val, dtype)
+    elif initialize == "ones_":
+        return lambda rng, shape, dtype=jnp.float32: jnp.ones(shape, dtype)
+    elif initialize == "zeros_":
+        return lambda rng, shape, dtype=jnp.float32: jnp.zeros(shape, dtype)
+    else:
+        raise ValueError(f"invalid initializer: {initialize}")
+
+
+class KgeBase(Configurable):
+    """Base for models, scorers, and embedders: config + dataset + init."""
+
+    def __init__(self, config: Config, dataset: Dataset, configuration_key=None):
+        Configurable.__init__(self, config, configuration_key)
+        self.dataset = dataset
+        self.meta: Dict[str, Any] = dict()
+
+    def initializer(
+        self, config: Config = None, configuration_key: str = None
+    ) -> Callable:
+        """Build the initializer configured under ``initialize``/``initialize_args``.
+
+        Follows the reference dispatch (kge_model.py:54-80): if
+        ``initialize_args.<initializer-name>`` exists, its options are used,
+        otherwise all of ``initialize_args``; ``a = -b`` is derived for
+        uniform_ when ``a`` is absent.
+        """
+        if config is None:
+            config = self.config
+        if configuration_key is None:
+            configuration_key = self.configuration_key
+        configurable = Configurable(config, configuration_key)
+        initialize = configurable.get_option("initialize")
+        try:
+            initialize_args = configurable.get_option("initialize_args." + initialize)
+        except KeyError:
+            initialize_args = configurable.get_option("initialize_args")
+        if isinstance(initialize_args, dict):
+            initialize_args = {
+                k: v for k, v in initialize_args.items() if k != "+++"
+            }
+        else:
+            initialize_args = {}
+        if initialize == "uniform_" and "a" not in initialize_args:
+            if "b" not in initialize_args:
+                initialize_args["b"] = 1.0
+            initialize_args["a"] = -initialize_args["b"]
+        return make_initializer(initialize, initialize_args)
+
+    def penalty(self, params: Params, **kwargs) -> List[Tuple[str, jax.Array]]:
+        """Additional penalty terms added to the loss (name, value) pairs."""
+        return []
+
+    def prepare_job(self, job, **kwargs):
+        """Register model-specific hooks on a job."""
+
+
+def _dropout(x: jax.Array, rate: float, ctx: Ctx) -> jax.Array:
+    """Inverted dropout matching torch.nn.Dropout semantics."""
+    if not ctx.train or rate <= 0.0 or ctx.rng is None:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(ctx.rng, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0)
+
+
+# -- scorers -------------------------------------------------------------------
+
+
+class RelationalScorer(KgeBase):
+    """Scores (s, p, o) embedding combinations.
+
+    ``score_emb(params, s, p, o, combine, ctx)``:
+
+    - combine="spo": s, p, o are [n, d*]; result [n, 1]
+    - combine="sp_": s, p are [n, d*], o is [m, d*]; result [n, m]
+    - combine="_po": p, o are [n, d*], s is [m, d*]; result [n, m]
+    - combine="s_o": s, o are [n, d*], p is [m, d*]; result [n, m]
+
+    The generic fallback materializes all pairs and delegates to the "spo"
+    form (reference kge_model.py:150-213); concrete scorers override the
+    combines they can fuse into matmuls.
+    """
+
+    def __init__(self, config: Config, dataset: Dataset, configuration_key=None):
+        super().__init__(config, dataset, configuration_key)
+
+    def init_params(self, rng: jax.Array) -> Params:
+        """Scorer-owned parameters (most scorers have none)."""
+        return {}
+
+    def score_emb_spo(
+        self, params: Params, s_emb, p_emb, o_emb, ctx: Ctx
+    ) -> jax.Array:
+        return self.score_emb(params, s_emb, p_emb, o_emb, "spo", ctx).reshape(-1)
+
+    def score_emb(
+        self, params: Params, s_emb, p_emb, o_emb, combine: str, ctx: Ctx
+    ) -> jax.Array:
+        n = p_emb.shape[0]
+        if combine == "spo":
+            out = self.score_emb_spo(params, s_emb, p_emb, o_emb, ctx)
+        elif combine == "sp_":
+            m = o_emb.shape[0]
+            s_all = jnp.repeat(s_emb, m, axis=0)
+            p_all = jnp.repeat(p_emb, m, axis=0)
+            o_all = jnp.tile(o_emb, (n, 1))
+            out = self.score_emb_spo(params, s_all, p_all, o_all, ctx)
+        elif combine == "_po":
+            m = s_emb.shape[0]
+            s_all = jnp.tile(s_emb, (n, 1))
+            p_all = jnp.repeat(p_emb, m, axis=0)
+            o_all = jnp.repeat(o_emb, m, axis=0)
+            out = self.score_emb_spo(params, s_all, p_all, o_all, ctx)
+        elif combine == "s_o":
+            n = s_emb.shape[0]
+            m = p_emb.shape[0]
+            s_all = jnp.repeat(s_emb, m, axis=0)
+            p_all = jnp.tile(p_emb, (n, 1))
+            o_all = jnp.repeat(o_emb, m, axis=0)
+            out = self.score_emb_spo(params, s_all, p_all, o_all, ctx)
+        else:
+            raise ValueError(f'cannot handle combine="{combine}"')
+        return out.reshape(n, -1)
+
+
+# -- embedders -----------------------------------------------------------------
+
+
+class KgeEmbedder(KgeBase):
+    """Embeds a fixed vocabulary of objects (entities or relations).
+
+    Functional analogue of the reference KgeEmbedder (kge_model.py:216-351):
+    ``init_params(rng)`` builds the parameter pytree; ``embed(params, idx,
+    ctx)`` / ``embed_all(params, ctx)`` are pure and jit-traceable.
+    """
+
+    def __init__(
+        self,
+        config: Config,
+        dataset: Dataset,
+        configuration_key: str,
+        vocab_size: int,
+        init_for_load_only=False,
+    ):
+        super().__init__(config, dataset, configuration_key)
+        self.vocab_size = vocab_size
+        embedder_type = self.get_option("type")
+        # verify the type points at an importable yaml
+        if not config.exists(f"{embedder_type}.class_name"):
+            config._import(embedder_type)
+        self.embedder_type = embedder_type
+
+    @staticmethod
+    def create(
+        config: Config,
+        dataset: Dataset,
+        configuration_key: str,
+        vocab_size: int,
+        init_for_load_only=False,
+    ) -> "KgeEmbedder":
+        """Factory: resolve ``<configuration_key>.type`` to a class and build it."""
+        embedder_type = config.get_default(configuration_key + ".type")
+        if not config.exists(f"{embedder_type}.class_name"):
+            config._import(embedder_type)
+        class_name = config.get(embedder_type + ".class_name")
+        return misc.init_from(
+            class_name,
+            config.get("modules"),
+            config=config,
+            dataset=dataset,
+            configuration_key=configuration_key,
+            vocab_size=vocab_size,
+            init_for_load_only=init_for_load_only,
+        )
+
+    @property
+    def dim(self) -> int:
+        raise NotImplementedError
+
+    def init_params(self, rng: jax.Array) -> Params:
+        raise NotImplementedError
+
+    def embed(self, params: Params, indexes: jax.Array, ctx: Ctx) -> jax.Array:
+        """Embeddings of the given vocabulary indexes, [n, dim]."""
+        raise NotImplementedError
+
+    def embed_all(self, params: Params, ctx: Ctx) -> jax.Array:
+        """Embeddings of all vocabulary members, [vocab_size, dim]."""
+        raise NotImplementedError
+
+    def postprocess_params(self, params: Params) -> Params:
+        """Post-batch parameter transform (e.g. L_p renormalization)."""
+        return params
+
+    def init_pretrained(self, params: Params, pretrained_embedder, pretrained_params,
+                        self_ids: List[str], pretrained_ids: List[str],
+                        ensure_all: bool = False) -> Params:
+        """Overwrite rows whose external ids appear in a pretrained embedder."""
+        self_arr = np.array(self_ids)
+        pre_arr = np.array(pretrained_ids)
+        common, self_ind, pre_ind = np.intersect1d(
+            self_arr, pre_arr, return_indices=True
+        )
+        if ensure_all and len(common) != len(self_arr):
+            raise ValueError(
+                "pretrained embedder does not cover all ids "
+                f"({len(common)} of {len(self_arr)})"
+            )
+        rows = pretrained_embedder.embed(
+            pretrained_params, jnp.asarray(pre_ind), EVAL_CTX
+        )
+        new = dict(params)
+        new["embeddings"] = params["embeddings"].at[jnp.asarray(self_ind)].set(rows)
+        return new
+
+
+class LookupEmbedder(KgeEmbedder):
+    """Dense embedding table with dropout, normalization, and lp/n3 penalty.
+
+    Matches the reference LookupEmbedder (kge/model/embedder/
+    lookup_embedder.py): params = {"embeddings": [vocab, dim]}. The gradient
+    of a lookup is a scatter-add computed by XLA; optimizer semantics stay
+    dense (as the reference's default) for parity.
+    """
+
+    def __init__(self, config, dataset, configuration_key, vocab_size,
+                 init_for_load_only=False):
+        super().__init__(
+            config, dataset, configuration_key, vocab_size, init_for_load_only
+        )
+        self.normalize_p = float(self.get_option("normalize.p"))
+        self.space = self.check_option("space", ["euclidean", "complex"])
+        if self.space == "complex":
+            self.regularize = self.check_option("regularize", ["", "lp", "n3"])
+        else:
+            self.regularize = self.check_option("regularize", ["", "lp"])
+        self._dim = int(self.get_option("dim"))
+        round_to = self.get_option("round_dim_to")
+        if len(round_to) > 0:
+            self._dim = misc.round_to_points(round_to, self._dim)
+        dropout = float(self.get_option("dropout"))
+        if dropout < 0:
+            if config.get("job.auto_correct"):
+                config.log(
+                    f"Setting {configuration_key}.dropout to 0., was {dropout}"
+                )
+                dropout = 0.0
+        self.dropout = dropout
+
+    @property
+    def dim(self) -> int:
+        return self._dim
+
+    def init_params(self, rng: jax.Array) -> Params:
+        init = self.initializer()
+        table = init(rng, (self.vocab_size, self._dim))
+        if self.normalize_p > 0:
+            table = self._normalize(table)
+        return {"embeddings": table}
+
+    def _normalize(self, table: jax.Array) -> jax.Array:
+        norm = jnp.linalg.norm(table, ord=self.normalize_p, axis=-1, keepdims=True)
+        return table / jnp.maximum(norm, 1e-12)
+
+    def postprocess_params(self, params: Params) -> Params:
+        if self.normalize_p > 0:
+            return {**params, "embeddings": self._normalize(params["embeddings"])}
+        return params
+
+    def embed(self, params: Params, indexes, ctx: Ctx) -> jax.Array:
+        emb = params["embeddings"][indexes]
+        return _dropout(emb, self.dropout, ctx)
+
+    def embed_all(self, params: Params, ctx: Ctx) -> jax.Array:
+        return _dropout(params["embeddings"], self.dropout, ctx)
+
+    def _abs_complex(self, parameters: jax.Array) -> jax.Array:
+        re, im = jnp.split(parameters, 2, axis=1)
+        # epsilon inside the sqrt keeps the gradient finite at exactly 0
+        return jnp.sqrt(re ** 2 + im ** 2 + 1e-14)
+
+    def penalty(self, params: Params, indexes=None, **kwargs):
+        """lp / n3 penalty, optionally weighted by batch index frequency.
+
+        Weighted form follows lookup_embedder.py:149-173 exactly, but without
+        a dynamic-shape ``unique``: summing ``emb[idx]**p`` over all (possibly
+        repeated) indexes equals summing ``emb_u**p * count_u`` over unique
+        indexes, so the computation stays static-shaped under jit.
+        """
+        result = []
+        weight = float(self.get_option("regularize_weight"))
+        if self.regularize == "" or weight == 0.0:
+            return result
+        if self.regularize == "n3":
+            p = 3
+        else:
+            p = self.get_option("regularize_args.p") if self.has_option(
+                "regularize_args.p"
+            ) else 2
+        p = float(p)
+        name = f"{self.configuration_key}.L{int(p) if p == int(p) else p}_penalty"
+        if not self.get_option("regularize_args.weighted"):
+            parameters = params["embeddings"]
+            if self.regularize == "n3" and self.space == "complex":
+                parameters = self._abs_complex(parameters)
+                value = weight / p * jnp.sum(parameters ** p)
+            else:
+                value = weight / p * jnp.sum(jnp.abs(parameters) ** p)
+            result.append((name, value))
+        else:
+            if indexes is None:
+                raise ValueError("weighted regularization requires batch indexes")
+            idx = jnp.asarray(indexes)
+            num_rows = idx.shape[0]  # reference divides by len(indexes) == rows
+            flat = idx.reshape(-1)
+            parameters = params["embeddings"][flat]
+            if self.regularize == "n3" and self.space == "complex":
+                parameters = self._abs_complex(parameters)
+            elif p % 2 == 1 and self.regularize != "n3":
+                parameters = jnp.abs(parameters)
+            value = weight / p * jnp.sum(parameters ** p) / num_rows
+            result.append((name, value))
+        return result
+
+
+class ProjectionEmbedder(KgeEmbedder):
+    """Base embedder followed by a bias-free linear projection.
+
+    params = {"base": <base params>, "projection": [dim_out, dim_in]}
+    (reference kge/model/embedder/projection_embedder.py).
+    """
+
+    def __init__(self, config, dataset, configuration_key, vocab_size,
+                 init_for_load_only=False):
+        super().__init__(
+            config, dataset, configuration_key, vocab_size, init_for_load_only
+        )
+        self.base_embedder = KgeEmbedder.create(
+            config, dataset, configuration_key + ".base_embedder", vocab_size,
+            init_for_load_only,
+        )
+        self._dim = int(self.get_option("dim"))
+        if self._dim < 0:
+            self._dim = self.base_embedder.dim
+            self.set_option("dim", self._dim, log=True)
+        self.regularize = self.check_option("regularize", ["", "lp"])
+        self.dropout = float(self.get_option("dropout"))
+
+    @property
+    def dim(self) -> int:
+        return self._dim
+
+    def init_params(self, rng: jax.Array) -> Params:
+        rng_base, rng_proj = jax.random.split(rng)
+        init = self.initializer()
+        return {
+            "base": self.base_embedder.init_params(rng_base),
+            "projection": init(rng_proj, (self._dim, self.base_embedder.dim)),
+        }
+
+    def _project(self, emb: jax.Array, params: Params, ctx: Ctx) -> jax.Array:
+        out = emb @ params["projection"].T
+        return _dropout(out, self.dropout, ctx)
+
+    def embed(self, params: Params, indexes, ctx: Ctx) -> jax.Array:
+        return self._project(
+            self.base_embedder.embed(params["base"], indexes, ctx.fold(1)),
+            params, ctx.fold(2),
+        )
+
+    def embed_all(self, params: Params, ctx: Ctx) -> jax.Array:
+        return self._project(
+            self.base_embedder.embed_all(params["base"], ctx.fold(1)),
+            params, ctx.fold(2),
+        )
+
+    def postprocess_params(self, params: Params) -> Params:
+        return {**params, "base": self.base_embedder.postprocess_params(params["base"])}
+
+    def penalty(self, params: Params, indexes=None, **kwargs):
+        result = self.base_embedder.penalty(params["base"], indexes=indexes, **kwargs)
+        weight = float(self.get_option("regularize_weight"))
+        if self.regularize == "" or weight == 0.0:
+            return result
+        p = float(self.get_option("regularize_args.p"))
+        result.append(
+            (
+                f"{self.configuration_key}.L{int(p) if p == int(p) else p}_penalty",
+                weight * jnp.sum(jnp.abs(params["projection"]) ** p),
+            )
+        )
+        return result
+
+
+class Tucker3RelationEmbedder(ProjectionEmbedder):
+    """ProjectionEmbedder with dim fixed to entity_dim^2 (Tucker core).
+
+    Reference: kge/model/embedder/tucker3_relation_embedder.py.
+    """
+
+    def __init__(self, config, dataset, configuration_key, vocab_size,
+                 init_for_load_only=False):
+        # dim is set by the model (RelationalTucker3) before creation; when
+        # unset, derive from the sibling entity embedder
+        dim = config.get_default(configuration_key + ".dim")
+        if dim < 0:
+            ent_key = configuration_key.replace("relation_embedder", "entity_embedder")
+            ent_dim = config.get_default(ent_key + ".dim")
+            config.set(configuration_key + ".dim", ent_dim ** 2, create=True)
+        super().__init__(
+            config, dataset, configuration_key, vocab_size, init_for_load_only
+        )
+
+
+# -- model ---------------------------------------------------------------------
+
+
+class KgeModel(KgeBase):
+    """A KGE model: entity/relation embedders + relational scorer.
+
+    Subjects and objects share one entity embedder (as in the reference,
+    kge_model.py:651-655). All scoring functions are pure in ``params``.
+    """
+
+    def __init__(
+        self,
+        config: Config,
+        dataset: Dataset,
+        scorer: Union[RelationalScorer, type],
+        create_embedders: bool = True,
+        configuration_key=None,
+        init_for_load_only=False,
+    ):
+        super().__init__(config, dataset, configuration_key)
+
+        self._entity_embedder: Optional[KgeEmbedder] = None
+        self._relation_embedder: Optional[KgeEmbedder] = None
+        if create_embedders:
+            self._entity_embedder = KgeEmbedder.create(
+                config, dataset, self.configuration_key + ".entity_embedder",
+                dataset.num_entities(), init_for_load_only=init_for_load_only,
+            )
+            self._relation_embedder = KgeEmbedder.create(
+                config, dataset, self.configuration_key + ".relation_embedder",
+                dataset.num_relations(), init_for_load_only=init_for_load_only,
+            )
+
+        if type(scorer) == type:
+            self._scorer: RelationalScorer = scorer(
+                config=config, dataset=dataset,
+                configuration_key=self.configuration_key,
+            )
+        else:
+            self._scorer = scorer
+
+    def _init_configuration(self, config: Config, configuration_key):
+        """Also resolve the model name; an unset configuration_key becomes the
+        model name (reference kge_model.py:461-470), so subclasses may call
+        this before ``super().__init__`` to read their options."""
+        Configurable._init_configuration(self, config, configuration_key)
+        if not hasattr(self, "model") or not getattr(self, "model", None):
+            if self.configuration_key:
+                self.model: str = config.get(self.configuration_key + ".type")
+            else:
+                self.model = config.get("model")
+                self.configuration_key = self.model
+
+    # -- factories ------------------------------------------------------------
+
+    @staticmethod
+    def create(
+        config: Config,
+        dataset: Dataset,
+        configuration_key: Optional[str] = None,
+        init_for_load_only=False,
+    ) -> "KgeModel":
+        """Factory: resolve the configured model name to a class and build it."""
+        if configuration_key is not None:
+            model_name = config.get(configuration_key + ".type")
+        else:
+            model_name = config.get("model")
+        config._import(model_name)
+        class_name = config.get(model_name + ".class_name")
+        model = misc.init_from(
+            class_name,
+            config.get("modules"),
+            config=config,
+            dataset=dataset,
+            configuration_key=configuration_key,
+            init_for_load_only=init_for_load_only,
+        )
+        return model
+
+    @staticmethod
+    def create_default(
+        model: Optional[str] = None,
+        dataset: Optional[Union[Dataset, str]] = None,
+        options: Dict[str, Any] = {},
+        folder: Optional[str] = None,
+    ) -> "KgeModel":
+        """Create a model along with a default config and dataset."""
+        import tempfile
+
+        config = Config.from_options(options)
+        if model is not None:
+            config.load_options({"model": model})
+        if isinstance(dataset, str):
+            config.set("dataset.name", dataset)
+        if folder is None:
+            folder = tempfile.mkdtemp(prefix="kge-")
+        config.folder = folder
+        config.init_folder()
+        if not isinstance(dataset, Dataset):
+            dataset = Dataset.create(config)
+        return KgeModel.create(config, dataset)
+
+    @staticmethod
+    def create_from(
+        checkpoint: Dict,
+        dataset: Optional[Dataset] = None,
+        use_tmp_log_folder: bool = True,
+        new_config: Config = None,
+    ) -> Tuple["KgeModel", Params]:
+        """Load model + params from a checkpoint created by this framework."""
+        import tempfile
+
+        config = Config.create_from(checkpoint)
+        if new_config:
+            config.load_config(new_config)
+        if use_tmp_log_folder:
+            config.log_folder = tempfile.mkdtemp(prefix="kge-")
+        dataset = Dataset.create_from(checkpoint, config, dataset, preload_data=False)
+        model = KgeModel.create(config, dataset, init_for_load_only=True)
+        params = jax.tree_util.tree_map(jnp.asarray, checkpoint["model"][0])
+        model.meta = checkpoint["model"][1] if len(checkpoint["model"]) > 1 else {}
+        return model, params
+
+    # -- parameters -----------------------------------------------------------
+
+    def init_params(self, rng: jax.Array) -> Params:
+        rng_e, rng_r, rng_s = jax.random.split(rng, 3)
+        params = {
+            "entity_embedder": self._entity_embedder.init_params(rng_e),
+            "relation_embedder": self._relation_embedder.init_params(rng_r),
+        }
+        scorer_params = self._scorer.init_params(rng_s)
+        if scorer_params:
+            params["scorer"] = scorer_params
+        return params
+
+    def postprocess_params(self, params: Params) -> Params:
+        """Post-batch transforms (embedding renorm etc.), pure and jittable."""
+        out = dict(params)
+        out["entity_embedder"] = self._entity_embedder.postprocess_params(
+            params["entity_embedder"]
+        )
+        out["relation_embedder"] = self._relation_embedder.postprocess_params(
+            params["relation_embedder"]
+        )
+        return out
+
+    def num_parameters(self, params: Params) -> int:
+        return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params))
+
+    # -- embedder access -------------------------------------------------------
+
+    def get_s_embedder(self) -> KgeEmbedder:
+        return self._entity_embedder
+
+    def get_o_embedder(self) -> KgeEmbedder:
+        return self._entity_embedder
+
+    def get_p_embedder(self) -> KgeEmbedder:
+        return self._relation_embedder
+
+    def get_scorer(self) -> RelationalScorer:
+        return self._scorer
+
+    def _scorer_params(self, params: Params) -> Params:
+        return params.get("scorer", {})
+
+    # -- penalty ---------------------------------------------------------------
+
+    def penalty(self, params: Params, batch: Optional[Dict] = None, **kwargs):
+        """Penalty terms of scorer + embedders.
+
+        Entity penalties are doubled when the embedder is shared and
+        unweighted, or computed over the concatenated (s, o) index matrix when
+        weighted (reference kge_model.py:603-649).
+        """
+        result = list(self._scorer.penalty(self._scorer_params(params), **kwargs))
+        if batch is not None and "triples" in batch:
+            triples = batch["triples"]
+            result += self.get_p_embedder().penalty(
+                params["relation_embedder"], indexes=triples[:, P], **kwargs
+            )
+            weighted = self.get_s_embedder().get_option("regularize_args.weighted")
+            if weighted:
+                entity_indexes = jnp.stack(
+                    [triples[:, S], triples[:, O]], axis=1
+                )
+                result += self.get_s_embedder().penalty(
+                    params["entity_embedder"], indexes=entity_indexes, **kwargs
+                )
+            else:
+                ent = self.get_s_embedder().penalty(
+                    params["entity_embedder"], indexes=None, **kwargs
+                )
+                result += [(name, 2 * value) for name, value in ent]
+        else:
+            result += self.get_p_embedder().penalty(
+                params["relation_embedder"], **kwargs
+            )
+            ent = self.get_s_embedder().penalty(params["entity_embedder"], **kwargs)
+            result += [(name, 2 * value) for name, value in ent]
+        return result
+
+    # -- scoring API -----------------------------------------------------------
+
+    def score_spo(self, params: Params, s, p, o, direction=None,
+                  ctx: Ctx = EVAL_CTX) -> jax.Array:
+        """Scores of the n triples (s_i, p_i, o_i); returns [n]."""
+        s_emb = self.get_s_embedder().embed(params["entity_embedder"], s, ctx.fold(1))
+        p_emb = self.get_p_embedder().embed(params["relation_embedder"], p, ctx.fold(2))
+        o_emb = self.get_o_embedder().embed(params["entity_embedder"], o, ctx.fold(3))
+        return self._scorer.score_emb(
+            self._scorer_params(params), s_emb, p_emb, o_emb, "spo", ctx.fold(4)
+        ).reshape(-1)
+
+    def score_sp(self, params: Params, s, p, o=None, ctx: Ctx = EVAL_CTX) -> jax.Array:
+        """Scores of (s_i, p_i, *) against all (or the given) objects; [n, m]."""
+        s_emb = self.get_s_embedder().embed(params["entity_embedder"], s, ctx.fold(1))
+        p_emb = self.get_p_embedder().embed(params["relation_embedder"], p, ctx.fold(2))
+        if o is None:
+            o_emb = self.get_o_embedder().embed_all(params["entity_embedder"], ctx.fold(3))
+        else:
+            o_emb = self.get_o_embedder().embed(params["entity_embedder"], o, ctx.fold(3))
+        return self._scorer.score_emb(
+            self._scorer_params(params), s_emb, p_emb, o_emb, "sp_", ctx.fold(4)
+        )
+
+    def score_po(self, params: Params, p, o, s=None, ctx: Ctx = EVAL_CTX) -> jax.Array:
+        """Scores of (*, p_i, o_i) against all (or the given) subjects; [n, m]."""
+        if s is None:
+            s_emb = self.get_s_embedder().embed_all(params["entity_embedder"], ctx.fold(1))
+        else:
+            s_emb = self.get_s_embedder().embed(params["entity_embedder"], s, ctx.fold(1))
+        p_emb = self.get_p_embedder().embed(params["relation_embedder"], p, ctx.fold(2))
+        o_emb = self.get_o_embedder().embed(params["entity_embedder"], o, ctx.fold(3))
+        return self._scorer.score_emb(
+            self._scorer_params(params), s_emb, p_emb, o_emb, "_po", ctx.fold(4)
+        )
+
+    def score_so(self, params: Params, s, o, p=None, ctx: Ctx = EVAL_CTX) -> jax.Array:
+        """Scores of (s_i, *, o_i) against all (or the given) relations; [n, m]."""
+        s_emb = self.get_s_embedder().embed(params["entity_embedder"], s, ctx.fold(1))
+        o_emb = self.get_o_embedder().embed(params["entity_embedder"], o, ctx.fold(2))
+        if p is None:
+            p_emb = self.get_p_embedder().embed_all(params["relation_embedder"], ctx.fold(3))
+        else:
+            p_emb = self.get_p_embedder().embed(params["relation_embedder"], p, ctx.fold(3))
+        return self._scorer.score_emb(
+            self._scorer_params(params), s_emb, p_emb, o_emb, "s_o", ctx.fold(4)
+        )
+
+    def score_sp_po(self, params: Params, s, p, o, entity_subset=None,
+                    ctx: Ctx = EVAL_CTX) -> jax.Array:
+        """[score_sp(s,p,E) | score_po(p,o,E)] concatenated; [n, 2m].
+
+        Used by chunked entity-ranking evaluation
+        (reference kge_model.py:749-789).
+        """
+        s_emb = self.get_s_embedder().embed(params["entity_embedder"], s, ctx.fold(1))
+        p_emb = self.get_p_embedder().embed(params["relation_embedder"], p, ctx.fold(2))
+        o_emb = self.get_o_embedder().embed(params["entity_embedder"], o, ctx.fold(3))
+        if entity_subset is not None:
+            all_entities = self.get_s_embedder().embed(
+                params["entity_embedder"], entity_subset, ctx.fold(4)
+            )
+        else:
+            all_entities = self.get_s_embedder().embed_all(
+                params["entity_embedder"], ctx.fold(4)
+            )
+        sp_scores = self._scorer.score_emb(
+            self._scorer_params(params), s_emb, p_emb, all_entities, "sp_", ctx.fold(5)
+        )
+        po_scores = self._scorer.score_emb(
+            self._scorer_params(params), all_entities, p_emb, o_emb, "_po", ctx.fold(6)
+        )
+        return jnp.concatenate([sp_scores, po_scores], axis=1)
+
+    def prepare_job(self, job, **kwargs):
+        super().prepare_job(job, **kwargs)
+        self._entity_embedder.prepare_job(job, **kwargs)
+        self._relation_embedder.prepare_job(job, **kwargs)

@@ -1,0 +1,102 @@
+"""Reciprocal relations meta-model.
+
+Wraps a base model trained with 2*|R| relations: (s,p,?) queries use relation
+p, (?,p,o) queries are answered as (o, p+|R|, ?) queries on the reciprocal
+relation (reference kge/model/reciprocal_relations_model.py).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from kge_tpu.config import Config
+from kge_tpu.dataset import Dataset
+from kge_tpu.models.base import Ctx, EVAL_CTX, KgeModel, Params
+
+
+class ReciprocalRelationsModel(KgeModel):
+    def __init__(self, config, dataset, configuration_key=None,
+                 init_for_load_only=False):
+        self._init_configuration(config, configuration_key)
+
+        # base model sees a dataset with twice the relations
+        alt_dataset = dataset.shallow_copy()
+        alt_dataset._num_relations = dataset.num_relations() * 2
+        alt_dataset._meta = dataset._meta.copy()
+        if "relation_ids" in dataset._meta:
+            ids = list(dataset.relation_ids())
+            alt_dataset._meta["relation_ids"] = ids + [
+                rid + "_reciprocal" for rid in ids
+            ]
+        base_model = KgeModel.create(
+            config=config,
+            dataset=alt_dataset,
+            configuration_key=self.configuration_key + ".base_model",
+            init_for_load_only=init_for_load_only,
+        )
+        super().__init__(
+            config=config,
+            dataset=dataset,
+            scorer=base_model.get_scorer(),
+            create_embedders=False,
+            init_for_load_only=init_for_load_only,
+        )
+        self._base_model = base_model
+        self._entity_embedder = base_model.get_s_embedder()
+        self._relation_embedder = base_model.get_p_embedder()
+
+    def init_params(self, rng):
+        return self._base_model.init_params(rng)
+
+    def postprocess_params(self, params):
+        return self._base_model.postprocess_params(params)
+
+    def prepare_job(self, job, **kwargs):
+        self._base_model.prepare_job(job, **kwargs)
+
+    def penalty(self, params: Params, batch=None, **kwargs):
+        """Base penalty; with weighted relation regularization, additionally
+        penalize the reciprocal relation rows touched by the batch
+        (reference reciprocal_relations_model.py:58-72)."""
+        result = self._base_model.penalty(params, batch=batch, **kwargs)
+        is_weighted = self.get_p_embedder().get_option("regularize_args.weighted")
+        regularize = getattr(self.get_p_embedder(), "regularize", "")
+        regularize_weight = self.get_p_embedder().get_option("regularize_weight")
+        if is_weighted and regularize != "" and regularize_weight != 0.0 \
+                and batch is not None and "triples" in batch:
+            reciprocal_indexes = batch["triples"][:, 1] + self.dataset.num_relations()
+            result += self.get_p_embedder().penalty(
+                params["relation_embedder"], indexes=reciprocal_indexes, **kwargs
+            )
+        return result
+
+    def score_spo(self, params, s, p, o, direction=None, ctx: Ctx = EVAL_CTX):
+        if direction == "o":
+            return self._base_model.score_spo(params, s, p, o, "o", ctx)
+        elif direction == "s":
+            return self._base_model.score_spo(
+                params, o, p + self.dataset.num_relations(), s, "o", ctx
+            )
+        raise ValueError(
+            "The reciprocal relations model cannot compute undirected spo scores."
+        )
+
+    def score_sp(self, params, s, p, o=None, ctx: Ctx = EVAL_CTX):
+        return self._base_model.score_sp(params, s, p, o, ctx)
+
+    def score_po(self, params, p, o, s=None, ctx: Ctx = EVAL_CTX):
+        return self._base_model.score_sp(
+            params, o, p + self.dataset.num_relations(), s, ctx
+        )
+
+    def score_so(self, params, s, o, p=None, ctx: Ctx = EVAL_CTX):
+        raise ValueError("The reciprocal relations model cannot score relations.")
+
+    def score_sp_po(self, params, s, p, o, entity_subset=None,
+                    ctx: Ctx = EVAL_CTX):
+        p_inv = p + self.dataset.num_relations()
+        sp_scores = self._base_model.score_sp(params, s, p, entity_subset, ctx.fold(1))
+        po_scores = self._base_model.score_sp(
+            params, o, p_inv, entity_subset, ctx.fold(2)
+        )
+        return jnp.concatenate([sp_scores, po_scores], axis=1)

@@ -6,12 +6,18 @@ emulation (the driver separately dry-runs the multi-chip path).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# the environment may pin JAX_PLATFORMS to a TPU tunnel via sitecustomize;
+# the config update below overrides it reliably
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 import sys

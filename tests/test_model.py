@@ -1,0 +1,199 @@
+"""Model tests.
+
+The load-bearing invariant (reference tests/test_model.py:29-71): for every
+model, ``score_spo`` must agree with ``score_sp``/``score_po`` (and
+``score_so`` where supported) over the full cross product of entities and
+relations, within tie tolerance. Also: RotatE phase normalization must
+preserve scores, and params must re-initialize deterministically per seed.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kge_tpu.models import EVAL_CTX, KgeModel
+
+from tests.util import get_test_config, get_test_dataset
+
+ATOL, RTOL = 1e-5, 1e-4
+
+
+def make_model(model_name, **options):
+    config = get_test_config()
+    config.load_options({"model": model_name})
+    for k, v in options.items():
+        config.set(k, v, create=True)
+    dataset = get_test_dataset(config)
+    model = KgeModel.create(config, dataset)
+    params = model.init_params(jax.random.PRNGKey(0))
+    return model, params, dataset
+
+
+BASE_MODELS = [
+    ("complex", {}),
+    ("distmult", {}),
+    ("transe", {}),
+    ("rescal", {}),
+    ("rotate", {}),
+    ("cp", {}),
+    ("simple", {}),
+    ("transh", {}),
+    ("relational_tucker3", {"relational_tucker3.relation_embedder.base_embedder.dim": 6}),
+]
+
+RECIPROCAL_MODELS = [
+    ("conve", {"reciprocal_relations_model.base_model.type": "conve",
+               "conve.entity_embedder.dim": 8,
+               "conve.relation_embedder.dim": 8,
+               "conve.entity_embedder.dropout": 0.0,
+               "conve.relation_embedder.dropout": 0.0,
+               "conve.feature_map_dropout": 0.0,
+               "conve.projection_dropout": 0.0}),
+    ("transformer", {"reciprocal_relations_model.base_model.type": "transformer",
+                     "transformer.entity_embedder.dim": 16,
+                     "transformer.relation_embedder.dim": 16,
+                     "transformer.encoder.nhead": 2,
+                     "transformer.encoder.num_layers": 1,
+                     "transformer.encoder.dim_feedforward": 32,
+                     "transformer.encoder.dropout": 0.0}),
+    ("complex", {"reciprocal_relations_model.base_model.type": "complex"}),
+]
+
+
+def all_spo(dataset):
+    E, R = dataset.num_entities(), dataset.num_relations()
+    s, p, o = np.meshgrid(np.arange(E), np.arange(R), np.arange(E), indexing="ij")
+    return (
+        jnp.asarray(s.reshape(-1)),
+        jnp.asarray(p.reshape(-1)),
+        jnp.asarray(o.reshape(-1)),
+    )
+
+
+@pytest.mark.parametrize("model_name,options", BASE_MODELS,
+                         ids=[m for m, _ in BASE_MODELS])
+def test_scoring_consistency(model_name, options):
+    model, params, dataset = make_model(model_name, **options)
+    E, R = dataset.num_entities(), dataset.num_relations()
+    s, p, o = all_spo(dataset)
+
+    spo = np.asarray(model.score_spo(params, s, p, o))
+
+    # score_sp over unique (s, p) pairs
+    su, pu = jnp.asarray(np.repeat(np.arange(E), R)), jnp.asarray(np.tile(np.arange(R), E))
+    sp_all = np.asarray(model.score_sp(params, su, pu))  # [E*R, E]
+    assert np.allclose(spo, sp_all.reshape(-1), atol=ATOL, rtol=RTOL)
+
+    # score_po over unique (p, o) pairs
+    pu2 = jnp.asarray(np.repeat(np.arange(R), E))
+    ou2 = jnp.asarray(np.tile(np.arange(E), R))
+    po_all = np.asarray(model.score_po(params, pu2, ou2))  # [R*E, E]
+    # po_all[i, j] = score(j, p_i, o_i); spo ordered (s, p, o)
+    expected = spo.reshape(E, R, E)
+    got = po_all.reshape(R, E, E).transpose(2, 0, 1)  # [s, p, o]
+    assert np.allclose(expected, got, atol=ATOL, rtol=RTOL)
+
+
+@pytest.mark.parametrize("model_name,options",
+                         [m for m in BASE_MODELS if m[0] in
+                          ("complex", "distmult", "rescal")],
+                         ids=["complex", "distmult", "rescal"])
+def test_score_so_consistency(model_name, options):
+    model, params, dataset = make_model(model_name, **options)
+    E, R = dataset.num_entities(), dataset.num_relations()
+    s, p, o = all_spo(dataset)
+    spo = np.asarray(model.score_spo(params, s, p, o))
+    su = jnp.asarray(np.repeat(np.arange(E), E))
+    ou = jnp.asarray(np.tile(np.arange(E), E))
+    so_all = np.asarray(model.score_so(params, su, ou))  # [E*E, R]
+    got = so_all.reshape(E, E, R).transpose(0, 2, 1)  # [s, p, o]
+    assert np.allclose(spo.reshape(E, R, E), got, atol=ATOL, rtol=RTOL)
+
+
+@pytest.mark.parametrize("base,options", RECIPROCAL_MODELS,
+                         ids=[m for m, _ in RECIPROCAL_MODELS])
+def test_reciprocal_scoring_consistency(base, options):
+    config = get_test_config()
+    config.load_options({"model": "reciprocal_relations_model"})
+    for k, v in options.items():
+        config.set(k, v, create=True)
+    dataset = get_test_dataset(config)
+    model = KgeModel.create(config, dataset)
+    params = model.init_params(jax.random.PRNGKey(0))
+    E, R = dataset.num_entities(), dataset.num_relations()
+    s, p, o = all_spo(dataset)
+
+    spo_o = np.asarray(model.score_spo(params, s, p, o, direction="o"))
+    spo_s = np.asarray(model.score_spo(params, s, p, o, direction="s"))
+
+    su, pu = jnp.asarray(np.repeat(np.arange(E), R)), jnp.asarray(np.tile(np.arange(R), E))
+    sp_all = np.asarray(model.score_sp(params, su, pu))
+    assert np.allclose(spo_o, sp_all.reshape(-1), atol=ATOL, rtol=RTOL)
+
+    pu2 = jnp.asarray(np.repeat(np.arange(R), E))
+    ou2 = jnp.asarray(np.tile(np.arange(E), R))
+    po_all = np.asarray(model.score_po(params, pu2, ou2))
+    got = po_all.reshape(R, E, E).transpose(2, 0, 1)
+    assert np.allclose(spo_s.reshape(E, R, E), got, atol=ATOL, rtol=RTOL)
+
+    # score_sp_po stitches both directions
+    n = min(E, R)
+    idx = jnp.arange(n)
+    both = np.asarray(model.score_sp_po(params, idx, idx % R, idx))
+    assert both.shape == (n, 2 * E)
+    assert np.allclose(
+        both[:, :E],
+        np.asarray(model.score_sp(params, idx, idx % R)),
+        atol=ATOL, rtol=RTOL,
+    )
+
+    with pytest.raises(ValueError):
+        model.score_spo(params, s, p, o)
+    with pytest.raises(ValueError):
+        model.score_so(params, s, o)
+
+
+def test_rotate_phase_normalization_preserves_scores():
+    model, params, dataset = make_model("rotate")
+    s, p, o = all_spo(dataset)
+    before = np.asarray(model.score_spo(params, s, p, o))
+    # push phases far out of range, scores must be unchanged after renorm
+    shifted = {
+        **params,
+        "relation_embedder": {
+            "embeddings": params["relation_embedder"]["embeddings"] + 6 * np.pi
+        },
+    }
+    renormed = model.postprocess_params(shifted)
+    after = np.asarray(model.score_spo(renormed, s, p, o))
+    assert np.allclose(before, after, atol=1e-4, rtol=1e-4)
+    phases = np.asarray(renormed["relation_embedder"]["embeddings"])
+    assert (phases >= -np.pi).all() and (phases < np.pi).all()
+
+
+def test_init_deterministic():
+    model, params, _ = make_model("complex")
+    params2 = model.init_params(jax.random.PRNGKey(0))
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(params2)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    params3 = model.init_params(jax.random.PRNGKey(1))
+    leaves = list(zip(jax.tree_util.tree_leaves(params),
+                      jax.tree_util.tree_leaves(params3)))
+    assert any(not np.array_equal(np.asarray(a), np.asarray(b)) for a, b in leaves)
+
+
+def test_conve_requires_direction():
+    config = get_test_config()
+    config.load_options({"model": "conve"})
+    config.set("conve.entity_embedder.dim", 8, create=True)
+    config.set("conve.relation_embedder.dim", 8, create=True)
+    dataset = get_test_dataset(config)
+    model = KgeModel.create(config, dataset)
+    params = model.init_params(jax.random.PRNGKey(0))
+    s = jnp.arange(2)
+    with pytest.raises(ValueError):
+        model.score_spo(params, s, s, s)
+    out = model.score_spo(params, s, jnp.zeros(2, dtype=jnp.int32), s, direction="o")
+    assert out.shape == (2,)
