@@ -1,0 +1,514 @@
+"""Abstract training job.
+
+Epoch-driven trainer with the reference's control surface (kge/job/train.py):
+best-checkpoint tracking, early stopping (patience + threshold), LR warmup,
+periodic validation driving a metric-based LR scheduler, checkpoint
+retention, NaN abort, and per-epoch timing traces.
+
+TPU-first execution model: each strategy builds ONE jitted ``train_step``
+(forward + penalties + backward + optimizer update + post-batch parameter
+transforms, with donated state) over fixed-shape batches; batches are
+prepared host-side as numpy and the final partial batch is padded + masked
+rather than recompiled.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kge_tpu import misc
+from kge_tpu.config import Config
+from kge_tpu.dataset import Dataset
+from kge_tpu.job.job import Job, TrainingOrEvaluationJob
+from kge_tpu.models import Ctx, KgeModel
+from kge_tpu.ops.losses import KgeLoss
+from kge_tpu.ops.optim import KgeLRScheduler, KgeOptimizer
+from kge_tpu.utils.io import load_checkpoint, save_checkpoint
+from kge_tpu.utils.seed import seed_from_config
+
+S, P, O = 0, 1, 2
+
+
+class TrainingJob(TrainingOrEvaluationJob):
+    """Abstract base job to train a single model with a fixed set of
+    hyperparameters."""
+
+    def __init__(self, config: Config, dataset: Dataset, parent_job: Job = None,
+                 model: Optional[KgeModel] = None, forward_only: bool = False):
+        super().__init__(config, dataset, parent_job)
+        if model is None:
+            self.model: KgeModel = KgeModel.create(config, dataset)
+        else:
+            self.model = model
+        self.loss = KgeLoss.create(config)
+        self.abort_on_nan: bool = config.get("train.abort_on_nan")
+        self.batch_size: int = config.get("train.batch_size")
+        self._subbatch_size: int = config.get("train.subbatch_size")
+        self.device: str = config.get("job.device")
+        self.train_split = config.get("train.split")
+        self.forward_only = forward_only
+
+        self.config.check("train.trace_level", ["batch", "epoch"])
+        self.trace_batch: bool = self.config.get("train.trace_level") == "batch"
+        self.epoch: int = 0
+        self.is_forward_only = forward_only
+
+        self.valid_trace: List[Dict[str, Any]] = []
+
+        # parameters + mutable state (set in _prepare)
+        self.model_params = getattr(self, "model_params", None)
+        self.opt_state = None
+        self.optimizer: Optional[KgeOptimizer] = None
+        self.kge_lr_scheduler: Optional[KgeLRScheduler] = None
+        self._lr_warmup = self.config.get("train.lr_warmup")
+
+        self._rng_seed = seed_from_config(config)
+        self._root_key = jax.random.PRNGKey(self._rng_seed)
+        self._np_rng = np.random.default_rng(self._rng_seed ^ 0xA5A5)
+
+        if not self.is_forward_only:
+            self.valid_job = _make_valid_job(config, dataset, self)
+
+        self._jitted_step: Optional[Callable] = None
+        self._jitted_loss: Optional[Callable] = None
+
+        if self.__class__ == TrainingJob:
+            for f in Job.job_created_hooks:
+                f(self)
+
+    # -- factory ---------------------------------------------------------------
+
+    @staticmethod
+    def create(config: Config, dataset: Dataset, parent_job: Job = None,
+               model: Optional[KgeModel] = None,
+               forward_only: bool = False) -> "TrainingJob":
+        """Factory by ``train.type`` -> ``<type>.class_name``."""
+        train_type = config.get("train.type")
+        class_name = config.get_default(train_type + ".class_name")
+        return misc.init_from(
+            class_name, config.get("modules"),
+            config, dataset, parent_job, model=model, forward_only=forward_only,
+        )
+
+    # -- run loop (reference train.py:139-258) ---------------------------------
+
+    def _run(self):
+        """Start/resume the training job and run to completion."""
+        if self.is_forward_only:
+            raise Exception(
+                f"{self.__class__.__name__} was initialized for forward "
+                "only. You can only call run_epoch()"
+            )
+
+        self.config.log("Starting training...")
+        checkpoint_every = self.config.get("train.checkpoint.every")
+        checkpoint_keep = self.config.get("train.checkpoint.keep")
+        metric_name = self.config.get("valid.metric")
+        patience = self.config.get("valid.early_stopping.patience")
+
+        while True:
+            # checking for model improvement according to metric_name
+            # and do early stopping and keep the best checkpoint
+            if len(self.valid_trace) > 0 and (
+                self.valid_trace[-1]["epoch"] == self.epoch
+            ):
+                best_index = _best_index(
+                    [trace_entry[metric_name] for trace_entry in self.valid_trace],
+                    self.config.get("valid.metric_max"),
+                )
+                if best_index == len(self.valid_trace) - 1:
+                    self._save(self.config.checkpoint_file("best"))
+                if patience > 0 and len(self.valid_trace) > patience and (
+                    best_index < len(self.valid_trace) - patience
+                ):
+                    self.config.log(
+                        "Stopping early ({} did not improve over best result "
+                        "in the last {} validation runs).".format(
+                            metric_name, patience
+                        )
+                    )
+                    break
+                threshold_epochs = self.config.get(
+                    "valid.early_stopping.threshold.epochs"
+                )
+                if threshold_epochs > 0 and self.epoch >= threshold_epochs:
+                    achieved = self.valid_trace[best_index][metric_name]
+                    target = self.config.get(
+                        "valid.early_stopping.threshold.metric_value"
+                    )
+                    if achieved < target:
+                        self.config.log(
+                            "Stopping early ({} did not achieve threshold "
+                            "value {} after {} epochs".format(
+                                metric_name, target, self.epoch
+                            )
+                        )
+                        break
+
+            # should we stop?
+            if self.epoch >= self.config.get("train.max_epochs"):
+                self.config.log("Maximum number of epochs reached.")
+                break
+
+            # update learning rate if warmup is used
+            if self.epoch < self._lr_warmup:
+                self._warmup_factor = (self.epoch + 1) / (self._lr_warmup + 1)
+            else:
+                self._warmup_factor = 1.0
+
+            # start a new epoch
+            self.epoch += 1
+            self.config.log("Starting epoch {}...".format(self.epoch))
+            trace_entry = self.run_epoch()
+            self.config.log("Finished epoch {}.".format(self.epoch))
+
+            # validate
+            if (
+                self.config.get("valid.every") > 0
+                and (
+                    self.epoch % self.config.get("valid.every") == 0
+                    or (
+                        self.config.get("valid.last")
+                        and self.epoch == self.config.get("train.max_epochs")
+                    )
+                )
+            ):
+                self.valid_job.epoch = self.epoch
+                self.valid_job.model_params = self.model_params
+                trace_entry = self.valid_job.run()
+                self.valid_trace.append(trace_entry)
+                for f in self.post_valid_hooks:
+                    f(self)
+
+                # metric-based scheduler step
+                if self.kge_lr_scheduler.metric_based:
+                    self.kge_lr_scheduler.step(trace_entry[metric_name])
+            if not self.kge_lr_scheduler.metric_based:
+                self.kge_lr_scheduler.step()
+
+            # create checkpoint and delete old one, if necessary
+            self._save(self.config.checkpoint_file(self.epoch))
+            if self.epoch > 1:
+                delete_checkpoint_epoch = -1
+                if checkpoint_every == 0:
+                    delete_checkpoint_epoch = self.epoch - 1
+                elif (self.epoch - 1) % checkpoint_every != 0:
+                    delete_checkpoint_epoch = self.epoch - 1
+                elif checkpoint_keep > 0:
+                    delete_checkpoint_epoch = (
+                        self.epoch - 1 - checkpoint_every * checkpoint_keep
+                    )
+                if delete_checkpoint_epoch >= 0:
+                    if delete_checkpoint_epoch != 0 or not self.config.get(
+                        "train.checkpoint.keep_init"
+                    ):
+                        self._delete_checkpoint(delete_checkpoint_epoch)
+
+        self.trace(event="train_completed", epoch=self.epoch)
+        return self.valid_trace[-1] if self.valid_trace else None
+
+    # -- preparation -----------------------------------------------------------
+
+    def _prepare(self):
+        """Prepare data, parameters, optimizer, and the jitted step."""
+        super()._prepare()
+        self.model.prepare_job(self)
+
+        # initialize parameters unless restored from a checkpoint
+        if self.model_params is None:
+            key, self._root_key = _split_key(self._root_key)
+            self.model_params = self.model.init_params(key)
+        self.model_params = jax.tree_util.tree_map(
+            jnp.asarray, self.model_params
+        )
+
+        if not self.is_forward_only:
+            self.optimizer = KgeOptimizer.create(self.config, self.model_params)
+            if self.opt_state is None:
+                self.opt_state = self.optimizer.init(self.model_params)
+            self.kge_lr_scheduler = KgeLRScheduler(self.config)
+            self._warmup_factor = 1.0
+        self.post_valid_hooks: List[Callable[[Job], Any]] = getattr(
+            self, "post_valid_hooks", []
+        )
+
+        self._prepare_data()
+        self._build_step_fn()
+
+    def _prepare_data(self):
+        """Subclasses: materialize examples for epoch iteration."""
+        raise NotImplementedError
+
+    def _build_step_fn(self):
+        """Build self._jitted_step / self._jitted_loss from the subclass's
+        ``_loss_for_batch(params, batch, rng)`` (returns (loss_value, aux))."""
+        self._jitted_step, self._jitted_loss = self._make_step_fns(
+            self._loss_for_batch
+        )
+
+    def _get_step_fn(self, variant):
+        return self._jitted_step
+
+    def _get_loss_fn(self, variant):
+        return self._jitted_loss
+
+    def _step_variant(self, batch) -> Optional[str]:
+        """A hashable tag selecting which compiled step handles this batch."""
+        return None
+
+    def _make_step_fns(self, loss_for_batch):
+        def loss_fn(params, batch, rng):
+            loss_value, aux = loss_for_batch(params, batch, rng)
+            # penalties (computed once per batch, reference train.py:417-435)
+            penalty_batch = {
+                k: batch[k] for k in ("triples", "mask") if k in batch
+            }
+            penalties = self.model.penalty(
+                params, batch=penalty_batch, epoch=self.epoch,
+            )
+            penalty_value = 0.0
+            penalty_values = {}
+            for name, value in penalties:
+                penalty_value = penalty_value + value
+                penalty_values[name] = value
+            cost = loss_value + penalty_value
+            aux = dict(aux)
+            aux["avg_loss"] = loss_value
+            aux["penalties"] = penalty_values
+            return cost, aux
+
+        def train_step(params, opt_state, batch, rng, lr):
+            (cost, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch, rng
+            )
+            new_params, new_opt_state = self.optimizer.update(
+                grads, opt_state, params, lr
+            )
+            # merge collected batch-norm stats (stored under aux["stats"])
+            stats = aux.pop("stats", None)
+            if stats:
+                scorer = dict(new_params.get("scorer", {}))
+                scorer.update(stats)
+                new_params = {**new_params, "scorer": scorer}
+            new_params = self.model.postprocess_params(new_params)
+            return new_params, new_opt_state, cost, aux
+
+        def forward_step(params, batch, rng):
+            cost, aux = loss_fn(params, batch, rng)
+            return cost, aux
+
+        donate = (0, 1) if not self.is_forward_only else ()
+        return jax.jit(train_step, donate_argnums=donate), jax.jit(forward_step)
+
+    def _loss_for_batch(self, params, batch: Dict[str, jnp.ndarray], rng):
+        """Strategy-specific loss: returns (summed-and-averaged loss, aux)."""
+        raise NotImplementedError
+
+    # -- epoch loop ------------------------------------------------------------
+
+    def run_epoch(self) -> Dict[str, Any]:
+        """Run one epoch and return its trace entry."""
+        if not self._is_prepared:
+            self._prepare()
+            self._is_prepared = True
+
+        self.current_trace["epoch"] = dict(
+            type=self.type_str, scope="epoch", epoch=self.epoch,
+            split=self.train_split, batches=0, size=0,
+        )
+        for f in self.pre_epoch_hooks:
+            f(self)
+
+        epoch_start = time.time()
+        sum_cost = 0.0
+        sum_loss = 0.0
+        sum_penalties: Dict[str, float] = {}
+        num_batches = 0
+        prepare_time_total = 0.0
+        forward_time_total = 0.0
+
+        lr_vec = self._current_lrs() if not self.is_forward_only else None
+
+        for batch_index, batch in enumerate(self._batches()):
+            self.current_trace["batch"] = {
+                "type": self.type_str, "scope": "batch",
+                "epoch": self.epoch, "split": self.train_split,
+                "batch": batch_index, "size": int(batch["true_size"]),
+            }
+            for f in self.pre_batch_hooks:
+                f(self)
+
+            prepare_start = time.time()
+            variant = self._step_variant(batch)
+            device_batch = {
+                k: jnp.asarray(v) for k, v in batch.items()
+                if k != "true_size" and not isinstance(v, str)
+            }
+            key, self._root_key = _split_key(self._root_key)
+            prepare_time_total += time.time() - prepare_start
+
+            forward_start = time.time()
+            if self.is_forward_only:
+                cost, aux = self._get_loss_fn(variant)(
+                    self.model_params, device_batch, key
+                )
+            else:
+                (self.model_params, self.opt_state, cost, aux) = self._get_step_fn(
+                    variant
+                )(self.model_params, self.opt_state, device_batch, key, lr_vec)
+            cost_value = float(cost)
+            forward_time_total += time.time() - forward_start
+
+            if self.abort_on_nan and math.isnan(cost_value):
+                raise FloatingPointError("Cost became nan, aborting training job")
+
+            sum_cost += cost_value
+            sum_loss += float(aux["avg_loss"])
+            for name, value in aux.get("penalties", {}).items():
+                sum_penalties[name] = sum_penalties.get(name, 0.0) + float(value)
+            num_batches += 1
+            self.current_trace["epoch"]["size"] += int(batch["true_size"])
+
+            if self.trace_batch:
+                self.current_trace["batch"].update(
+                    avg_loss=float(aux["avg_loss"]), cost=cost_value,
+                )
+                self.config.trace(**self.current_trace["batch"])
+            self.current_trace["batch"] = None
+            for f in self.post_batch_hooks:
+                f(self)
+
+        epoch_time = time.time() - epoch_start
+        self.current_trace["epoch"].update(
+            dict(
+                batches=num_batches,
+                avg_loss=sum_loss / max(num_batches, 1),
+                avg_cost=sum_cost / max(num_batches, 1),
+                avg_penalty=(sum_cost - sum_loss) / max(num_batches, 1),
+                avg_penalties={
+                    k: v / max(num_batches, 1) for k, v in sum_penalties.items()
+                },
+                epoch_time=epoch_time,
+                prepare_time=prepare_time_total,
+                forward_time=forward_time_total,
+                event="epoch_completed",
+                num_parameters=self.model.num_parameters(self.model_params),
+            )
+        )
+        for f in self.post_epoch_hooks:
+            f(self)
+        trace_entry = self.trace(**self.current_trace["epoch"], echo=False, log=True)
+        self.current_trace["epoch"] = None
+        return trace_entry
+
+    def _batches(self):
+        """Yield fixed-shape numpy batches (subclasses)."""
+        raise NotImplementedError
+
+    def _current_lrs(self) -> jnp.ndarray:
+        base = self.optimizer.base_lrs()
+        factor = self._warmup_factor * self.kge_lr_scheduler.factor
+        return jnp.asarray(base * factor)
+
+    @property
+    def type_str(self) -> str:
+        raise NotImplementedError
+
+    # -- checkpointing (reference train.py:260-320) ----------------------------
+
+    def _save(self, filename) -> None:
+        self.config.log("Saving checkpoint to {}...".format(filename))
+        checkpoint = self.save_to({})
+        save_checkpoint(checkpoint, filename)
+
+    def save_to(self, checkpoint: Dict) -> Dict:
+        train_checkpoint = {
+            "type": "train",
+            "epoch": self.epoch,
+            "valid_trace": self.valid_trace,
+            "model": (self.model_params, self.model.meta),
+            "optimizer_state": self.opt_state,
+            "lr_scheduler_state_dict": (
+                self.kge_lr_scheduler.state_dict()
+                if self.kge_lr_scheduler else {}
+            ),
+            "job_id": self.job_id,
+        }
+        train_checkpoint = self.config.save_to(train_checkpoint)
+        train_checkpoint = self.dataset.save_to(train_checkpoint)
+        checkpoint.update(train_checkpoint)
+        return checkpoint
+
+    def _load(self, checkpoint: Dict) -> str:
+        if checkpoint["type"] != "train":
+            raise ValueError("Training can only be continued on trained models")
+        self.epoch = checkpoint["epoch"]
+        self.valid_trace = checkpoint["valid_trace"]
+        if checkpoint.get("optimizer_state") is not None:
+            self.opt_state = jax.tree_util.tree_map(
+                jnp.asarray, checkpoint["optimizer_state"]
+            )
+        if self.kge_lr_scheduler is None:
+            self.kge_lr_scheduler = KgeLRScheduler(self.config)
+        self.kge_lr_scheduler.load_state_dict(
+            checkpoint.get("lr_scheduler_state_dict", {})
+        )
+        self.resumed_from_job_id = checkpoint.get("job_id")
+        self.trace(
+            event="job_resumed", epoch=self.epoch,
+            checkpoint_file=checkpoint.get("file"),
+        )
+        self.config.log(
+            "Resuming training from {} of job {}".format(
+                checkpoint.get("file"), self.resumed_from_job_id
+            )
+        )
+        return ""
+
+    def _delete_checkpoint(self, checkpoint_id: int):
+        filename = self.config.checkpoint_file(checkpoint_id)
+        if os.path.exists(filename):
+            self.config.log("Removing old checkpoint {}...".format(filename))
+            os.remove(filename)
+
+    # -- helpers for subclasses ------------------------------------------------
+
+    def _epoch_permutation(self, n: int) -> np.ndarray:
+        return self._np_rng.permutation(n)
+
+    def _pad_batch(self, arr: np.ndarray, size: int) -> np.ndarray:
+        """Pad the leading axis to ``size`` by repeating the last row."""
+        if len(arr) == size:
+            return arr
+        pad = np.repeat(arr[-1:], size - len(arr), axis=0)
+        return np.concatenate([arr, pad], axis=0)
+
+
+def _best_index(values: List[float], metric_max: bool) -> int:
+    arr = np.asarray(values)
+    return int(np.argmax(arr) if metric_max else np.argmin(arr))
+
+
+def _split_key(key):
+    k1, k2 = jax.random.split(key)
+    return k1, k2
+
+
+def _make_valid_job(config: Config, dataset: Dataset, parent: TrainingJob):
+    from kge_tpu.job.eval import EvaluationJob
+
+    valid_conf = config.clone()
+    valid_conf.set("job.type", "eval")
+    if config.get("valid.split") != "":
+        valid_conf.set("eval.split", config.get("valid.split"))
+    valid_conf.set("eval.trace_level", config.get("valid.trace_level"))
+    return EvaluationJob.create(
+        valid_conf, dataset, parent_job=parent, model=parent.model
+    )

@@ -397,13 +397,17 @@ class LookupEmbedder(KgeEmbedder):
         # epsilon inside the sqrt keeps the gradient finite at exactly 0
         return jnp.sqrt(re ** 2 + im ** 2 + 1e-14)
 
-    def penalty(self, params: Params, indexes=None, **kwargs):
+    def penalty(self, params: Params, indexes=None, indexes_weight=None,
+                num_index_rows=None, **kwargs):
         """lp / n3 penalty, optionally weighted by batch index frequency.
 
         Weighted form follows lookup_embedder.py:149-173 exactly, but without
         a dynamic-shape ``unique``: summing ``emb[idx]**p`` over all (possibly
         repeated) indexes equals summing ``emb_u**p * count_u`` over unique
         indexes, so the computation stays static-shaped under jit.
+        ``indexes_weight`` (matching indexes' leading shape) zeroes padded
+        rows; ``num_index_rows`` overrides the denominator (the true number
+        of index rows when the batch is padded).
         """
         result = []
         weight = float(self.get_option("regularize_weight"))
@@ -429,14 +433,22 @@ class LookupEmbedder(KgeEmbedder):
             if indexes is None:
                 raise ValueError("weighted regularization requires batch indexes")
             idx = jnp.asarray(indexes)
-            num_rows = idx.shape[0]  # reference divides by len(indexes) == rows
+            if num_index_rows is None:
+                num_index_rows = idx.shape[0]
             flat = idx.reshape(-1)
             parameters = params["embeddings"][flat]
             if self.regularize == "n3" and self.space == "complex":
                 parameters = self._abs_complex(parameters)
             elif p % 2 == 1 and self.regularize != "n3":
                 parameters = jnp.abs(parameters)
-            value = weight / p * jnp.sum(parameters ** p) / num_rows
+            contrib = jnp.sum(parameters ** p, axis=-1)  # [len(flat)]
+            if indexes_weight is not None:
+                w = jnp.broadcast_to(
+                    jnp.asarray(indexes_weight).reshape(idx.shape[0], -1)[:, :1],
+                    idx.shape,
+                ).reshape(-1)
+                contrib = contrib * w
+            value = weight / p * jnp.sum(contrib) / num_index_rows
             result.append((name, value))
         return result
 
@@ -709,8 +721,14 @@ class KgeModel(KgeBase):
         result = list(self._scorer.penalty(self._scorer_params(params), **kwargs))
         if batch is not None and "triples" in batch:
             triples = batch["triples"]
+            mask = batch.get("mask")
+            if mask is not None:
+                num_rows = jnp.sum(mask)
+            else:
+                num_rows = triples.shape[0]
             result += self.get_p_embedder().penalty(
-                params["relation_embedder"], indexes=triples[:, P], **kwargs
+                params["relation_embedder"], indexes=triples[:, P],
+                indexes_weight=mask, num_index_rows=num_rows, **kwargs
             )
             weighted = self.get_s_embedder().get_option("regularize_args.weighted")
             if weighted:
@@ -718,7 +736,8 @@ class KgeModel(KgeBase):
                     [triples[:, S], triples[:, O]], axis=1
                 )
                 result += self.get_s_embedder().penalty(
-                    params["entity_embedder"], indexes=entity_indexes, **kwargs
+                    params["entity_embedder"], indexes=entity_indexes,
+                    indexes_weight=mask, num_index_rows=num_rows, **kwargs
                 )
             else:
                 ent = self.get_s_embedder().penalty(

@@ -65,8 +65,11 @@ class ReciprocalRelationsModel(KgeModel):
         if is_weighted and regularize != "" and regularize_weight != 0.0 \
                 and batch is not None and "triples" in batch:
             reciprocal_indexes = batch["triples"][:, 1] + self.dataset.num_relations()
+            mask = batch.get("mask")
+            num_rows = jnp.sum(mask) if mask is not None else None
             result += self.get_p_embedder().penalty(
-                params["relation_embedder"], indexes=reciprocal_indexes, **kwargs
+                params["relation_embedder"], indexes=reciprocal_indexes,
+                indexes_weight=mask, num_index_rows=num_rows, **kwargs
             )
         return result
 

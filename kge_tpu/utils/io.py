@@ -1,0 +1,50 @@
+"""Checkpoint serialization.
+
+Checkpoints are pickled dicts with the reference's schema (kge/job/
+train.py:276-298): ``{type, epoch, valid_trace, model: (params, meta),
+optimizer_state, lr_scheduler_state_dict, job_id, config, dataset{...}}``.
+Device arrays are converted to numpy on save and restored lazily on load.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from kge_tpu.config import Config
+
+
+def _to_numpy(tree):
+    import jax
+
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(checkpoint: Dict[str, Any], filename: str):
+    """Atomically write a checkpoint file."""
+    for key in ("model", "optimizer_state"):
+        if key in checkpoint and checkpoint[key] is not None:
+            if key == "model":
+                params, meta = checkpoint[key]
+                checkpoint[key] = (_to_numpy(params), meta)
+            else:
+                checkpoint[key] = _to_numpy(checkpoint[key])
+    tmpfile = filename + ".tmp"
+    with open(tmpfile, "wb") as f:
+        pickle.dump(checkpoint, f, protocol=pickle.HIGHEST_PROTOCOL)
+    os.replace(tmpfile, filename)
+
+
+def load_checkpoint(checkpoint_file: str, device: Optional[str] = None) -> Dict:
+    """Load a checkpoint; adds its file/folder for downstream resume logic
+    (reference kge/util/io.py:36-47)."""
+    with open(checkpoint_file, "rb") as f:
+        checkpoint = pickle.load(f)
+    checkpoint["file"] = checkpoint_file
+    folder = os.path.dirname(checkpoint_file)
+    if "config" in checkpoint and folder:
+        checkpoint["folder"] = folder
+    return checkpoint

@@ -1,0 +1,308 @@
+"""Golden numerical parity against the actual reference implementation.
+
+Runs LibKGE (torch CPU) on the fixture dataset, copies its initialized
+weights into our params, and requires allclose agreement of scores, losses,
+penalties, gradients, and optimizer updates — the BASELINE.json parity gate.
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+from tests.libkge_stub import install, libkge_available
+
+pytestmark = pytest.mark.skipif(
+    not libkge_available(), reason="reference LibKGE not importable"
+)
+
+install()
+
+import torch  # noqa: E402
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from tests.util import DATASET_DIR, get_test_config, get_test_dataset  # noqa: E402
+
+ATOL, RTOL = 1e-5, 1e-4
+
+
+def make_ref_model(model_name, options=None):
+    from kge import Config as RefConfig, Dataset as RefDataset
+    from kge.model import KgeModel as RefKgeModel
+
+    config = RefConfig()
+    config.set("console.quiet", True)
+    config.set("job.device", "cpu")
+    config.set("model", model_name)
+    config._import(model_name)
+    config.set("dataset.name", "dataset_test")
+    for k, v in (options or {}).items():
+        config.set(k, v, create=True)
+    torch.manual_seed(42)
+    dataset = RefDataset.create(config, folder=str(DATASET_DIR))
+    model = RefKgeModel.create(config, dataset)
+    model.eval()
+    return model, config, dataset
+
+
+def make_our_model(model_name, options=None):
+    from kge_tpu.models import KgeModel
+
+    config = get_test_config()
+    config.load_options({"model": model_name})
+    for k, v in (options or {}).items():
+        config.set(k, v, create=True)
+    dataset = get_test_dataset(config)
+    model = KgeModel.create(config, dataset)
+    params = model.init_params(jax.random.PRNGKey(0))
+    return model, params
+
+
+def copy_tables(ref_model, params):
+    """Copy the reference's embedding tables into our params."""
+    ent = ref_model.get_s_embedder()._embeddings.weight.detach().numpy()
+    rel = ref_model.get_p_embedder()._embeddings.weight.detach().numpy()
+    new = dict(params)
+    new["entity_embedder"] = {
+        **params["entity_embedder"], "embeddings": jnp.asarray(ent)
+    }
+    new["relation_embedder"] = {
+        **params["relation_embedder"], "embeddings": jnp.asarray(rel)
+    }
+    return new
+
+
+PARITY_MODELS = [
+    ("complex", {}),
+    ("distmult", {}),
+    ("transe", {}),
+    ("rescal", {}),
+    ("rotate", {}),
+    ("cp", {}),
+    ("simple", {}),
+    ("transh", {}),
+]
+
+
+@pytest.mark.parametrize("model_name,options", PARITY_MODELS,
+                         ids=[m for m, _ in PARITY_MODELS])
+def test_score_parity(model_name, options):
+    ref_model, _, ref_dataset = make_ref_model(model_name, options)
+    our_model, params = make_our_model(model_name, options)
+    params = copy_tables(ref_model, params)
+
+    E, R = ref_dataset.num_entities(), ref_dataset.num_relations()
+    s, p, o = np.meshgrid(np.arange(E), np.arange(R), np.arange(E), indexing="ij")
+    s, p, o = s.reshape(-1), p.reshape(-1), o.reshape(-1)
+
+    ts, tp, to = (torch.from_numpy(x.astype(np.int64)) for x in (s, p, o))
+    with torch.no_grad():
+        ref_spo = ref_model.score_spo(ts, tp, to).numpy()
+        su, pu = np.repeat(np.arange(E), R), np.tile(np.arange(R), E)
+        ref_sp = ref_model.score_sp(
+            torch.from_numpy(su), torch.from_numpy(pu)
+        ).numpy()
+        pu2, ou2 = np.repeat(np.arange(R), E), np.tile(np.arange(E), R)
+        ref_po = ref_model.score_po(
+            torch.from_numpy(pu2), torch.from_numpy(ou2)
+        ).numpy()
+
+    our_spo = np.asarray(our_model.score_spo(
+        params, jnp.asarray(s), jnp.asarray(p), jnp.asarray(o)
+    ))
+    our_sp = np.asarray(our_model.score_sp(
+        params, jnp.asarray(su), jnp.asarray(pu)
+    ))
+    our_po = np.asarray(our_model.score_po(
+        params, jnp.asarray(pu2), jnp.asarray(ou2)
+    ))
+
+    assert np.allclose(ref_spo, our_spo, atol=ATOL, rtol=RTOL), (
+        np.abs(ref_spo - our_spo).max()
+    )
+    assert np.allclose(ref_sp, our_sp, atol=ATOL, rtol=RTOL)
+    assert np.allclose(ref_po, our_po, atol=ATOL, rtol=RTOL)
+
+
+LOSSES = ["kl", "bce", "bce_mean", "bce_self_adversarial", "margin_ranking",
+          "soft_margin", "se"]
+
+
+@pytest.mark.parametrize("loss_name", LOSSES)
+def test_loss_parity(loss_name):
+    from kge import Config as RefConfig
+    from kge.util.loss import KgeLoss as RefKgeLoss
+
+    from kge_tpu.config import Config
+    from kge_tpu.ops.losses import KgeLoss
+
+    rng = np.random.default_rng(3)
+    n, m = 7, 5
+    scores = rng.normal(size=(n, m)).astype(np.float32)
+    labels_idx = np.zeros(n, dtype=np.int64)  # positives in column 0
+    labels_mat = np.zeros((n, m), dtype=np.float32)
+    labels_mat[np.arange(n), labels_idx] = 1.0
+
+    ref_config = RefConfig()
+    ref_config.set("console.quiet", True)
+    ref_config.set("job.device", "cpu")
+    ref_config.set("train.loss", loss_name)
+    ref_config.set("train.type", "negative_sampling")
+    ref_loss = RefKgeLoss.create(ref_config)
+
+    our_config = Config()
+    our_config.set("console.quiet", True)
+    our_config.set("train.loss", loss_name)
+    our_config.set("train.type", "negative_sampling")
+    our_loss = KgeLoss.create(our_config)
+
+    kwargs = {"num_negatives": m - 1} if loss_name == "margin_ranking" else {}
+
+    for labels, tlabels in (
+        (labels_idx, torch.from_numpy(labels_idx)),
+        (labels_mat, torch.from_numpy(labels_mat)),
+    ):
+        if loss_name == "margin_ranking" and labels.ndim == 1:
+            pass  # margin ranking works from the matrix form internally
+        ref_val = float(
+            ref_loss(torch.from_numpy(scores), tlabels, **kwargs)
+        )
+        our_val = float(our_loss(jnp.asarray(scores), jnp.asarray(labels)))
+        assert np.isclose(ref_val, our_val, atol=1e-4, rtol=1e-4), (
+            loss_name, labels.ndim, ref_val, our_val
+        )
+
+
+@pytest.mark.parametrize("regularize,weighted,space", [
+    ("lp", False, "euclidean"),
+    ("lp", True, "euclidean"),
+    ("n3", False, "complex"),
+    ("n3", True, "complex"),
+])
+def test_penalty_parity(regularize, weighted, space):
+    model_name = "complex" if space == "complex" else "distmult"
+    options = {
+        f"{model_name}.entity_embedder.regularize": regularize,
+        f"{model_name}.entity_embedder.regularize_weight": 0.3,
+        f"{model_name}.entity_embedder.regularize_args.weighted": weighted,
+        f"{model_name}.relation_embedder.regularize": regularize,
+        f"{model_name}.relation_embedder.regularize_weight": 0.1,
+        f"{model_name}.relation_embedder.regularize_args.weighted": weighted,
+    }
+    ref_model, _, ref_dataset = make_ref_model(model_name, options)
+    our_model, params = make_our_model(model_name, options)
+    params = copy_tables(ref_model, params)
+
+    triples = torch.from_numpy(
+        np.asarray(get_test_dataset().split("train")).astype(np.int64)
+    )
+    ref_pens = ref_model.penalty(batch={"triples": triples})
+    our_pens = our_model.penalty(
+        params, batch={"triples": jnp.asarray(triples.numpy())}
+    )
+    ref_total = float(sum(v for _, v in ref_pens))
+    our_total = float(sum(v for _, v in our_pens))
+    assert np.isclose(ref_total, our_total, atol=1e-5, rtol=1e-4), (
+        ref_total, our_total,
+        [(n, float(v)) for n, v in ref_pens],
+        [(n, float(v)) for n, v in our_pens],
+    )
+
+
+def test_gradient_parity_complex_kl():
+    """Full backward parity: KL loss over [pos | sampled negatives] for
+    ComplEx — entity and relation table gradients must agree."""
+    ref_model, ref_config, ref_dataset = make_ref_model("complex")
+    our_model, params = make_our_model("complex")
+    params = copy_tables(ref_model, params)
+
+    rng = np.random.default_rng(11)
+    n, num_neg = 8, 4
+    triples = np.stack([
+        rng.integers(0, 7, n), rng.integers(0, 3, n), rng.integers(0, 7, n)
+    ], axis=1).astype(np.int64)
+    negs = rng.integers(0, 7, (n, num_neg)).astype(np.int64)
+
+    # reference: score [pos|negs] per row (o-corruption), KL loss / n
+    ref_model.train()
+    ts = torch.from_numpy(triples)
+    tneg = torch.from_numpy(negs)
+    pos = ref_model.score_spo(ts[:, 0], ts[:, 1], ts[:, 2], direction="o")
+    s_rep = ts[:, 0].repeat_interleave(num_neg)
+    p_rep = ts[:, 1].repeat_interleave(num_neg)
+    neg_scores = ref_model.score_spo(
+        s_rep, p_rep, tneg.reshape(-1), direction="o"
+    ).view(n, num_neg)
+    scores = torch.cat([pos.view(-1, 1), neg_scores], dim=1)
+    labels = torch.zeros(n, dtype=torch.long)
+    loss = torch.nn.functional.cross_entropy(
+        scores, labels, reduction="sum"
+    ) / n
+    loss.backward()
+    ref_ent_grad = ref_model.get_s_embedder()._embeddings.weight.grad.numpy()
+    ref_rel_grad = ref_model.get_p_embedder()._embeddings.weight.grad.numpy()
+
+    def our_loss(p_):
+        pos = our_model.score_spo(
+            p_, jnp.asarray(triples[:, 0]), jnp.asarray(triples[:, 1]),
+            jnp.asarray(triples[:, 2]),
+        ).reshape(-1, 1)
+        neg = our_model.score_spo(
+            p_, jnp.asarray(np.repeat(triples[:, 0], num_neg)),
+            jnp.asarray(np.repeat(triples[:, 1], num_neg)),
+            jnp.asarray(negs.reshape(-1)),
+        ).reshape(n, num_neg)
+        sc = jnp.concatenate([pos, neg], axis=1)
+        logz = jax.nn.logsumexp(sc, axis=1)
+        return jnp.sum(logz - sc[:, 0]) / n
+
+    our_val, grads = jax.value_and_grad(our_loss)(params)
+    assert np.isclose(float(loss), float(our_val), atol=1e-5, rtol=1e-4)
+    assert np.allclose(
+        ref_ent_grad, np.asarray(grads["entity_embedder"]["embeddings"]),
+        atol=1e-5, rtol=1e-4,
+    )
+    assert np.allclose(
+        ref_rel_grad, np.asarray(grads["relation_embedder"]["embeddings"]),
+        atol=1e-5, rtol=1e-4,
+    )
+
+
+@pytest.mark.parametrize("opt_name", ["Adagrad", "Adam", "SGD", "RMSprop"])
+def test_optimizer_update_parity(opt_name):
+    """Our functional optimizers must reproduce torch.optim updates."""
+    from kge_tpu.config import Config
+    from kge_tpu.ops.optim import KgeOptimizer
+
+    rng = np.random.default_rng(5)
+    w = rng.normal(size=(6, 4)).astype(np.float32)
+    grads = [rng.normal(size=(6, 4)).astype(np.float32) for _ in range(3)]
+    lr = 0.17
+
+    tw = torch.nn.Parameter(torch.from_numpy(w.copy()))
+    args = {"lr": lr}
+    if opt_name == "SGD":
+        args["momentum"] = 0.9
+    topt = getattr(torch.optim, opt_name)([tw], **args)
+    for g in grads:
+        topt.zero_grad()
+        tw.grad = torch.from_numpy(g.copy())
+        topt.step()
+
+    config = Config()
+    config.set("console.quiet", True)
+    config.set("train.optimizer.default.type", opt_name)
+    config.set("train.optimizer.default.args.lr", lr)
+    if opt_name == "SGD":
+        config.set("train.optimizer.default.args.momentum", 0.9, create=True)
+    params = {"w": jnp.asarray(w)}
+    opt = KgeOptimizer.create(config, params)
+    state = opt.init(params)
+    lrs = jnp.asarray(opt.base_lrs())
+    for g in grads:
+        params, state = opt.update({"w": jnp.asarray(g)}, state, params, lrs)
+
+    assert np.allclose(
+        tw.detach().numpy(), np.asarray(params["w"]), atol=1e-5, rtol=1e-4
+    ), np.abs(tw.detach().numpy() - np.asarray(params["w"])).max()

@@ -1,0 +1,204 @@
+"""Training job tests: all strategies run, loss decreases, forward-only
+epochs are deterministic, checkpoints resume exactly (reference
+tests/test_train.py's invariants, adapted to the jitted-step design)."""
+
+import glob
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from kge_tpu.job import Job, TrainingJob
+from kge_tpu.utils.io import load_checkpoint
+
+from tests.util import get_test_config, get_test_dataset
+
+
+def make_job(train_type="negative_sampling", model="complex", folder=None,
+             forward_only=False, **options):
+    config = get_test_config()
+    config.load_options({"model": model})
+    config.set("train.type", train_type)
+    config.set("train.max_epochs", 2)
+    config.set("train.batch_size", 5)
+    config.set("valid.every", 0)
+    config.set("train.optimizer.default.args.lr", 0.05)
+    for k, v in options.items():
+        config.set(k, v, create=True)
+    config.folder = folder or tempfile.mkdtemp(prefix="kge-test-")
+    config.init_folder()
+    dataset = get_test_dataset(config)
+    return TrainingJob.create(config, dataset, forward_only=forward_only)
+
+
+STRATEGIES = ["negative_sampling", "1vsAll", "KvsAll"]
+
+
+@pytest.mark.parametrize("train_type", STRATEGIES)
+def test_loss_decreases(train_type):
+    job = make_job(train_type, **{"train.max_epochs": 8})
+    job._prepare()
+    job._is_prepared = True
+    losses = []
+    for epoch in range(1, 9):
+        job.epoch = epoch
+        trace = job.run_epoch()
+        losses.append(trace["avg_loss"])
+    assert losses[-1] < losses[0], losses
+
+
+@pytest.mark.parametrize("train_type", STRATEGIES)
+def test_forward_only_deterministic(train_type):
+    """Forward-only epochs with identical seed produce identical losses
+    (the reference's subbatch-invariance analogue for the jitted step)."""
+    values = []
+    for _ in range(2):
+        job = make_job(train_type, forward_only=True)
+        job._prepare()
+        job._is_prepared = True
+        job.epoch = 1
+        values.append(job.run_epoch()["avg_loss"])
+    assert values[0] == pytest.approx(values[1], abs=1e-6)
+
+
+def test_checkpoints_written_and_resume():
+    folder = tempfile.mkdtemp(prefix="kge-test-")
+    job = make_job(
+        "negative_sampling", folder=folder,
+        **{"train.max_epochs": 3, "train.checkpoint.every": 1,
+           "train.checkpoint.keep": 3, "valid.every": 3,
+           "entity_ranking.hits_at_k_s": [1, 3]},
+    )
+    result = job.run()
+    files = sorted(os.path.basename(f) for f in glob.glob(f"{folder}/checkpoint_*"))
+    assert "checkpoint_00003.pt" in files
+    assert "checkpoint_best.pt" in files
+
+    # resume from epoch 3: nothing further to do (max reached), state intact
+    checkpoint = load_checkpoint(
+        job.config.best_or_last_checkpoint_file(folder)
+    )
+    job2 = Job.create_from(checkpoint)
+    assert job2.epoch == 3
+    assert len(job2.valid_trace) == 1
+    # resumed params identical to saved ones
+    import jax
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(job.model_params),
+        jax.tree_util.tree_leaves(job2.model_params),
+    ):
+        assert np.allclose(np.asarray(a), np.asarray(b))
+
+    # training further epochs from the checkpoint works
+    job2.config.set("train.max_epochs", 4)
+    job2.run()
+    assert job2.epoch == 4
+
+
+def test_resume_continues_optimizer_state():
+    folder = tempfile.mkdtemp(prefix="kge-test-")
+    job = make_job(
+        "1vsAll", folder=folder,
+        **{"train.max_epochs": 2, "train.optimizer.default.type": "Adam"},
+    )
+    job.run()
+    checkpoint = load_checkpoint(job.config.checkpoint_file(2))
+    job2 = Job.create_from(checkpoint)
+    job2._prepare()
+    job2._is_prepared = True
+    # Adam moments restored, not reinitialized
+    m = job2.opt_state["leaves"][0]["m"]
+    assert float(np.abs(np.asarray(m)).sum()) > 0
+
+
+def test_early_stopping_patience():
+    folder = tempfile.mkdtemp(prefix="kge-test-")
+    job = make_job(
+        "negative_sampling", folder=folder,
+        **{"train.max_epochs": 40, "valid.every": 1,
+           "valid.early_stopping.patience": 2,
+           "valid.metric": "mean_reciprocal_rank_filtered",
+           "entity_ranking.hits_at_k_s": [1, 3],
+           "train.optimizer.default.args.lr": 0.0},  # no progress
+    )
+    job.run()
+    assert job.epoch < 40
+
+
+def test_regex_parameter_groups():
+    """A separate lr for relation parameters via regex groups."""
+    job = make_job(
+        "negative_sampling",
+        **{"train.optimizer.relation": {
+            "regex": ".*_relation_embedder.*", "args": {"lr": 0.9}},
+           },
+    )
+    job._prepare()
+    job._is_prepared = True
+    names = job.optimizer.parameter_names_list
+    assert any("_relation_embedder" in n for n in names)
+    rel_group = [g for g in job.optimizer.groups if g.name == "relation"]
+    assert rel_group and rel_group[0].base_lr == 0.9
+    labels = job.optimizer._labels
+    rel_idx = job.optimizer.groups.index(rel_group[0])
+    matched = [n for n, l in zip(names, labels) if l == rel_idx]
+    assert matched == [n for n in names if "_relation_embedder" in n]
+
+
+def test_frequency_sampler_and_shared():
+    job = make_job(
+        "negative_sampling",
+        **{"negative_sampling.sampling_type": "frequency",
+           "negative_sampling.num_samples.s": 4},
+    )
+    job._prepare()
+    job._is_prepared = True
+    job.epoch = 1
+    trace = job.run_epoch()
+    assert np.isfinite(trace["avg_loss"])
+
+
+def test_shared_negative_sampling_trains():
+    job = make_job(
+        "negative_sampling",
+        **{"negative_sampling.shared": True,
+           "negative_sampling.shared_type": "default",
+           "negative_sampling.num_samples.s": 4},
+    )
+    job._prepare()
+    job._is_prepared = True
+    job.epoch = 1
+    trace = job.run_epoch()
+    assert np.isfinite(trace["avg_loss"])
+
+
+def test_filtered_negative_sampling():
+    job = make_job(
+        "negative_sampling",
+        **{"negative_sampling.filtering.s": True,
+           "negative_sampling.filtering.o": True,
+           "negative_sampling.num_samples.s": 5},
+    )
+    job._prepare()
+    job._is_prepared = True
+    # drawn negatives must avoid known positives
+    triples = job.triples
+    sampler = job._sampler
+    neg = sampler.sample(triples.astype(np.int64), 2)  # slot O
+    sp_index = job.dataset.index("train_sp_to_o")
+    samples = neg.materialized_samples()
+    for i in range(len(triples)):
+        positives = set(sp_index.get(int(triples[i, 0]), int(triples[i, 1])).tolist())
+        assert not (set(samples[i].tolist()) & positives)
+
+
+def test_rotate_phases_stay_normalized_after_training():
+    job = make_job("negative_sampling", model="rotate")
+    job._prepare()
+    job._is_prepared = True
+    job.epoch = 1
+    job.run_epoch()
+    phases = np.asarray(job.model_params["relation_embedder"]["embeddings"])
+    assert (phases >= -np.pi).all() and (phases < np.pi).all()
