@@ -221,6 +221,10 @@ class TrainingJob(TrainingOrEvaluationJob):
         super()._prepare()
         self.model.prepare_job(self)
 
+        from kge_tpu.parallel.mesh import DeviceCtx
+
+        self.device_ctx = DeviceCtx.create(self.config)
+
         # initialize parameters unless restored from a checkpoint
         if self.model_params is None:
             key, self._root_key = _split_key(self._root_key)
@@ -228,11 +232,20 @@ class TrainingJob(TrainingOrEvaluationJob):
         self.model_params = jax.tree_util.tree_map(
             jnp.asarray, self.model_params
         )
+        if self.device_ctx.active:
+            self._check_shardable()
+            self.model_params = jax.device_put(
+                self.model_params, self.device_ctx.tree_shardings(self.model_params)
+            )
 
         if not self.is_forward_only:
             self.optimizer = KgeOptimizer.create(self.config, self.model_params)
             if self.opt_state is None:
                 self.opt_state = self.optimizer.init(self.model_params)
+            if self.device_ctx.active:
+                self.opt_state = jax.device_put(
+                    self.opt_state, self.device_ctx.tree_shardings(self.opt_state)
+                )
             self.kge_lr_scheduler = KgeLRScheduler(self.config)
             self._warmup_factor = 1.0
         self.post_valid_hooks: List[Callable[[Job], Any]] = getattr(
@@ -327,12 +340,12 @@ class TrainingJob(TrainingOrEvaluationJob):
             f(self)
 
         epoch_start = time.time()
-        sum_cost = 0.0
-        sum_loss = 0.0
-        sum_penalties: Dict[str, float] = {}
         num_batches = 0
         prepare_time_total = 0.0
         forward_time_total = 0.0
+        #: per-batch device scalars, fetched once at epoch end so the device
+        #: pipeline never blocks on the host (critical over remote links)
+        pending: List[Any] = []
 
         lr_vec = self._current_lrs() if not self.is_forward_only else None
 
@@ -348,9 +361,17 @@ class TrainingJob(TrainingOrEvaluationJob):
             prepare_start = time.time()
             variant = self._step_variant(batch)
             device_batch = {
-                k: jnp.asarray(v) for k, v in batch.items()
+                k: v for k, v in batch.items()
                 if k != "true_size" and not isinstance(v, str)
             }
+            if self.device_ctx.active:
+                device_batch = jax.device_put(
+                    device_batch, self.device_ctx.batch_shardings(device_batch)
+                )
+            else:
+                device_batch = {
+                    k: jnp.asarray(v) for k, v in device_batch.items()
+                }
             key, self._root_key = _split_key(self._root_key)
             prepare_time_total += time.time() - prepare_start
 
@@ -363,27 +384,35 @@ class TrainingJob(TrainingOrEvaluationJob):
                 (self.model_params, self.opt_state, cost, aux) = self._get_step_fn(
                     variant
                 )(self.model_params, self.opt_state, device_batch, key, lr_vec)
-            cost_value = float(cost)
             forward_time_total += time.time() - forward_start
 
-            if self.abort_on_nan and math.isnan(cost_value):
-                raise FloatingPointError("Cost became nan, aborting training job")
-
-            sum_cost += cost_value
-            sum_loss += float(aux["avg_loss"])
-            for name, value in aux.get("penalties", {}).items():
-                sum_penalties[name] = sum_penalties.get(name, 0.0) + float(value)
+            pending.append((cost, aux))
             num_batches += 1
             self.current_trace["epoch"]["size"] += int(batch["true_size"])
 
             if self.trace_batch:
+                # per-batch tracing needs the values now (syncs the pipeline)
                 self.current_trace["batch"].update(
-                    avg_loss=float(aux["avg_loss"]), cost=cost_value,
+                    avg_loss=float(aux["avg_loss"]), cost=float(cost),
                 )
                 self.config.trace(**self.current_trace["batch"])
             self.current_trace["batch"] = None
             for f in self.post_batch_hooks:
                 f(self)
+
+        # fetch all per-batch scalars in one transfer
+        fetched = jax.device_get(
+            [(c, a["avg_loss"], a.get("penalties", {})) for c, a in pending]
+        )
+        sum_cost = float(sum(c for c, _, _ in fetched))
+        sum_loss = float(sum(l for _, l, _ in fetched))
+        sum_penalties: Dict[str, float] = {}
+        for _, _, pens in fetched:
+            for name, value in pens.items():
+                sum_penalties[name] = sum_penalties.get(name, 0.0) + float(value)
+
+        if self.abort_on_nan and math.isnan(sum_cost):
+            raise FloatingPointError("Cost became nan, aborting training job")
 
         epoch_time = time.time() - epoch_start
         self.current_trace["epoch"].update(
@@ -479,6 +508,25 @@ class TrainingJob(TrainingOrEvaluationJob):
             os.remove(filename)
 
     # -- helpers for subclasses ------------------------------------------------
+
+    def _check_shardable(self):
+        """Validate mesh divisibility constraints with actionable errors."""
+        mesh = self.device_ctx.mesh
+        data = mesh.shape["data"]
+        model = mesh.shape["model"]
+        if self.batch_size % data != 0:
+            raise ValueError(
+                f"train.batch_size={self.batch_size} must be divisible by "
+                f"the data mesh axis ({data})"
+            )
+        if model > 1:
+            E = self.dataset.num_entities()
+            if E % model != 0:
+                raise ValueError(
+                    f"num_entities={E} must be divisible by the model mesh "
+                    f"axis ({model}) for row-sharded entity tables "
+                    "(pad the vocabulary or adjust parallel.model)"
+                )
 
     def _epoch_permutation(self, n: int) -> np.ndarray:
         return self._np_rng.permutation(n)

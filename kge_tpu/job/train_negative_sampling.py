@@ -71,13 +71,39 @@ class TrainingJobNegativeSampling(TrainingJob):
             slot for slot in (S, P, O) if self._sampler.num_samples[slot] > 0
         ]
 
+        # on-device sampling fast path (negatives drawn inside the jitted
+        # step): available when no filtering is configured
+        on_device = self.config.check(
+            "negative_sampling.on_device", ["auto", "always", "never"]
+        )
+        filtering = bool(self._sampler.filter_positives.any())
+        if on_device == "always" and filtering:
+            raise ValueError(
+                "negative_sampling.on_device=always is incompatible with "
+                "filtering (positives lookup is host-side)"
+            )
+        self._on_device = (
+            on_device == "always" or (on_device == "auto" and not filtering)
+        )
+        if self._on_device:
+            self.config.log("Drawing negative samples on-device")
+            if self.config.get("negative_sampling.sampling_type") == "frequency":
+                import jax.numpy as jnp_
+
+                self._device_cdf = {
+                    slot: jnp_.asarray(self._sampler._cdf[slot])
+                    for slot in self._active_slots
+                }
+            else:
+                self._device_cdf = None
+
     def _batches(self):
         perm = self._epoch_permutation(self.num_examples)
         bs = self.batch_size
         for start in range(0, self.num_examples, bs):
             idx = perm[start : start + bs]
             true_size = len(idx)
-            triples = self.triples[idx].astype(np.int64)
+            triples = self.triples[idx].astype(np.int32)
             triples_padded = self._pad_batch(triples, bs)
             batch: Dict[str, np.ndarray] = {
                 "triples": triples_padded,
@@ -87,14 +113,54 @@ class TrainingJobNegativeSampling(TrainingJob):
                 ),
                 "true_size": true_size,
             }
-            for slot in self._active_slots:
-                neg = self._sampler.sample(triples_padded, slot)
-                if neg.kind == "plain":
-                    batch[f"neg_samples_{slot}"] = neg.samples
-                else:
-                    batch[f"neg_unique_{slot}"] = neg.unique_samples
-                    batch[f"neg_gather_{slot}"] = neg.gather_map
+            if not self._on_device:
+                for slot in self._active_slots:
+                    neg = self._sampler.sample(
+                        triples_padded.astype(np.int64), slot
+                    )
+                    if neg.kind == "plain":
+                        batch[f"neg_samples_{slot}"] = neg.samples
+                    else:
+                        batch[f"neg_unique_{slot}"] = neg.unique_samples
+                        batch[f"neg_gather_{slot}"] = neg.gather_map
             yield batch
+
+    def _draw_negatives_on_device(self, triples, slot, rng):
+        """In-jit negative sampling (uniform or frequency-based, optionally
+        shared): returns entries for the batch dict mirroring the host
+        sampler's fixed-shape products."""
+        num = int(self._sampler.num_samples[slot])
+        n = triples.shape[0]
+        vocab = int(self._sampler.vocabulary_size[slot])
+
+        def draw(key, shape):
+            if self._device_cdf is not None:
+                u = jax.random.uniform(key, shape)
+                return jnp.searchsorted(self._device_cdf[slot], u).astype(
+                    jnp.int32
+                )
+            return jax.random.randint(key, shape, 0, vocab, dtype=jnp.int32)
+
+        if not self._sampler.shared:
+            return {f"neg_samples_{slot}": draw(rng, (n, num))}
+
+        # shared: one sample row for the whole batch (with-replacement; the
+        # reference's WOR+upsampling construction is distributionally the
+        # same, sampler.py:596-658). For shared_type=default, one spare is
+        # drawn and each row's own positive (first match) is replaced by it.
+        sample = draw(rng, (num + 1,))
+        base = jnp.broadcast_to(jnp.arange(num), (n, num))
+        if self._sampler.shared_type == "default":
+            pos = triples[:, slot]
+            matches = sample[None, :num] == pos[:, None]
+            has_match = matches.any(axis=1)
+            first = jnp.argmax(matches, axis=1)
+            gather = jnp.where(
+                (base == first[:, None]) & has_match[:, None], num, base
+            )
+        else:
+            gather = base
+        return {f"neg_unique_{slot}": sample, f"neg_gather_{slot}": gather}
 
     def _score_negatives(self, params, triples, slot, batch, ctx: Ctx):
         """Score the negatives of one slot -> [n, num] (in-jit; static
@@ -150,6 +216,14 @@ class TrainingJobNegativeSampling(TrainingJob):
         mask = batch["mask"]
         batch_size = jnp.sum(mask)
         ctx = Ctx(train=True, rng=rng, stats={})
+        if self._on_device:
+            batch = dict(batch)
+            for slot in self._active_slots:
+                batch.update(
+                    self._draw_negatives_on_device(
+                        triples, slot, jax.random.fold_in(rng, 1000 + slot)
+                    )
+                )
         total = 0.0
         aux = {}
         for i, slot in enumerate(self._active_slots):

@@ -1,1 +1,5 @@
 """Device-mesh parallelism utilities."""
+
+from kge_tpu.parallel.mesh import DeviceCtx
+
+__all__ = ["DeviceCtx"]

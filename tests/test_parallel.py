@@ -1,0 +1,120 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh.
+
+The key invariant (SURVEY.md §4): an N-device sharded run must produce the
+same training trajectory as a 1-device run (identical host-side batches,
+sharded device compute) within floating-point reassociation tolerance.
+"""
+
+import tempfile
+
+import jax
+import numpy as np
+import pytest
+
+from kge_tpu.dataset import Dataset
+from kge_tpu.job import TrainingJob
+from kge_tpu.parallel import DeviceCtx
+
+from tests.util import get_test_config, make_synthetic_dataset
+
+
+def make_job(folder, data_axis, model_axis, train_type="negative_sampling",
+             **options):
+    config = get_test_config()
+    config.load_options({"model": "complex"})
+    config.set("dataset.name", "synth_par")
+    config.set("train.type", train_type)
+    config.set("train.batch_size", 64)
+    config.set("train.max_epochs", 1)
+    config.set("valid.every", 0)
+    config.set("parallel.data", data_axis)
+    config.set("parallel.model", model_axis)
+    config.set("complex.entity_embedder.dim", 16, create=True)
+    config.set("complex.relation_embedder.dim", 16, create=True)
+    config.set("train.optimizer.default.args.lr", 0.1)
+    for k, v in options.items():
+        config.set(k, v, create=True)
+    config.folder = tempfile.mkdtemp(prefix="kge-par-")
+    config.init_folder()
+    dataset = Dataset.create(config, folder=str(folder))
+    return TrainingJob.create(config, dataset)
+
+
+@pytest.fixture(scope="module")
+def synth_folder(tmp_path_factory):
+    return make_synthetic_dataset(
+        tmp_path_factory.mktemp("data") / "synth_par"
+    )
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def _epoch_losses(job, epochs=2):
+    job._prepare()
+    job._is_prepared = True
+    losses = []
+    for e in range(1, epochs + 1):
+        job.epoch = e
+        losses.append(job.run_epoch()["avg_loss"])
+    return losses
+
+
+@pytest.mark.parametrize("mesh", [(8, 1), (4, 2), (1, 8)],
+                         ids=["dp8", "dp4xmp2", "mp8"])
+@pytest.mark.parametrize("train_type", ["negative_sampling", "1vsAll"])
+def test_sharded_matches_single_device(synth_folder, mesh, train_type):
+    base = make_job(synth_folder, 1, 1, train_type)
+    losses_1 = _epoch_losses(base)
+
+    data_axis, model_axis = mesh
+    sharded = make_job(synth_folder, data_axis, model_axis, train_type)
+    losses_n = _epoch_losses(sharded)
+    assert sharded.device_ctx.active
+
+    assert np.allclose(losses_1, losses_n, rtol=1e-4, atol=1e-5), (
+        losses_1, losses_n
+    )
+    # entity table really is sharded over the model axis
+    if model_axis > 1:
+        sharding = sharded.model_params["entity_embedder"]["embeddings"].sharding
+        assert sharding.spec[0] == "model"
+
+
+def test_kvsall_sharded(synth_folder):
+    base = make_job(synth_folder, 1, 1, "KvsAll")
+    sharded = make_job(synth_folder, 4, 2, "KvsAll")
+    l1 = _epoch_losses(base, 1)
+    ln = _epoch_losses(sharded, 1)
+    assert np.allclose(l1, ln, rtol=1e-4, atol=1e-5), (l1, ln)
+
+
+def test_indivisible_mesh_errors(synth_folder):
+    job = make_job(synth_folder, 1, 1)
+    job.config.set("parallel.data", 3)  # 64 % 3 != 0
+    job.config.set("parallel.model", 1)
+    with pytest.raises(ValueError, match="divisible"):
+        job._prepare()
+
+
+def test_sharded_checkpoint_roundtrip(synth_folder):
+    """Sharded params save to a host checkpoint and reload on one device."""
+    from kge_tpu.job import Job
+    from kge_tpu.utils.io import load_checkpoint
+
+    job = make_job(synth_folder, 4, 2)
+    job.config.set("train.max_epochs", 1)
+    job.run()
+    ckpt_file = job.config.checkpoint_file(1)
+    checkpoint = load_checkpoint(ckpt_file)
+    params = checkpoint["model"][0]
+    table = params["entity_embedder"]["embeddings"]
+    assert isinstance(table, np.ndarray) and table.shape == (64, 16)
+    # resume single-device from the sharded run's checkpoint
+    checkpoint["config"].set("parallel.data", 1)
+    checkpoint["config"].set("parallel.model", 1)
+    job2 = Job.create_from(checkpoint, dataset=job.dataset)
+    job2.config.set("train.max_epochs", 2)
+    job2.run()
+    assert job2.epoch == 2
