@@ -318,11 +318,123 @@ class TrainingJob(TrainingOrEvaluationJob):
             return cost, aux
 
         donate = (0, 1) if not self.is_forward_only else ()
+        self._raw_step = train_step
         return jax.jit(train_step, donate_argnums=donate), jax.jit(forward_step)
 
     def _loss_for_batch(self, params, batch: Dict[str, jnp.ndarray], rng):
         """Strategy-specific loss: returns (summed-and-averaged loss, aux)."""
         raise NotImplementedError
+
+    # -- scan-based epoch (one compiled call per epoch) ------------------------
+
+    def _scan_data(self) -> Optional[Dict[str, np.ndarray]]:
+        """Stacked per-batch arrays [num_batches, ...] for the scanned epoch,
+        or None when this strategy/configuration can't scan (host-side work
+        per batch). Subclasses override."""
+        return None
+
+    def _epoch_scan_enabled(self) -> bool:
+        mode = self.config.get("train.epoch_scan")
+        if mode == "never" or self.is_forward_only:
+            return False
+        blocked = (
+            self.trace_batch
+            or self.pre_batch_hooks
+            or self.post_batch_hooks
+        )
+        if mode == "always":
+            if blocked:
+                raise ValueError(
+                    "train.epoch_scan=always conflicts with batch-level "
+                    "tracing or batch hooks"
+                )
+            return True
+        return not blocked
+
+    def _run_epoch_scanned(self, data: Dict[str, np.ndarray]) -> Dict[str, Any]:
+        """Run the whole epoch as one jitted lax.scan over batches: zero
+        per-step dispatch and host work (the TPU-native hot path)."""
+        epoch_start = time.time()
+        nb = data["mask"].shape[0]
+        size = int(data.pop("__size__"))
+        lr_vec = self._current_lrs()
+
+        if not hasattr(self, "_jitted_epoch"):
+            raw_step = self._raw_step
+
+            def epoch_fn(params, opt_state, stacked, rng, lr):
+                def body(carry, xs):
+                    params, opt_state = carry
+                    batch, key = xs
+                    params, opt_state, cost, aux = raw_step(
+                        params, opt_state, batch, key, lr
+                    )
+                    ys = (
+                        cost, aux["avg_loss"],
+                        {k: v for k, v in aux.get("penalties", {}).items()},
+                    )
+                    return (params, opt_state), ys
+
+                keys = jax.random.split(rng, stacked["mask"].shape[0])
+                (params, opt_state), ys = jax.lax.scan(
+                    body, (params, opt_state), (stacked, keys)
+                )
+                return params, opt_state, ys
+
+            self._jitted_epoch = jax.jit(epoch_fn, donate_argnums=(0, 1))
+
+        prepare_start = time.time()
+        if self.device_ctx.active:
+            specs = self.device_ctx.batch_shardings(
+                {k: v[0] for k, v in data.items()}
+            )
+            stacked = {
+                k: jax.device_put(
+                    v,
+                    None if specs[k] is None else jax.sharding.NamedSharding(
+                        self.device_ctx.mesh,
+                        jax.sharding.PartitionSpec(None, *specs[k].spec),
+                    ),
+                )
+                for k, v in data.items()
+            }
+        else:
+            stacked = {k: jnp.asarray(v) for k, v in data.items()}
+        prepare_time = time.time() - prepare_start
+
+        key, self._root_key = _split_key(self._root_key)
+        self.model_params, self.opt_state, ys = self._jitted_epoch(
+            self.model_params, self.opt_state, stacked, key, lr_vec
+        )
+        costs, losses, penalties = jax.device_get(ys)
+
+        sum_cost = float(np.sum(costs))
+        if self.abort_on_nan and math.isnan(sum_cost):
+            raise FloatingPointError("Cost became nan, aborting training job")
+        epoch_time = time.time() - epoch_start
+        self.current_trace["epoch"].update(
+            dict(
+                batches=nb,
+                size=size,
+                avg_loss=float(np.mean(losses)),
+                avg_cost=sum_cost / nb,
+                avg_penalty=float(np.mean(costs - losses)),
+                avg_penalties={
+                    k: float(np.mean(v)) for k, v in penalties.items()
+                },
+                epoch_time=epoch_time,
+                prepare_time=prepare_time,
+                forward_time=epoch_time - prepare_time,
+                event="epoch_completed",
+                num_parameters=self.model.num_parameters(self.model_params),
+                scanned=True,
+            )
+        )
+        for f in self.post_epoch_hooks:
+            f(self)
+        trace_entry = self.trace(**self.current_trace["epoch"], echo=False, log=True)
+        self.current_trace["epoch"] = None
+        return trace_entry
 
     # -- epoch loop ------------------------------------------------------------
 
@@ -338,6 +450,11 @@ class TrainingJob(TrainingOrEvaluationJob):
         )
         for f in self.pre_epoch_hooks:
             f(self)
+
+        if self._epoch_scan_enabled():
+            data = self._scan_data()
+            if data is not None:
+                return self._run_epoch_scanned(data)
 
         epoch_start = time.time()
         num_batches = 0
@@ -530,6 +647,26 @@ class TrainingJob(TrainingOrEvaluationJob):
 
     def _epoch_permutation(self, n: int) -> np.ndarray:
         return self._np_rng.permutation(n)
+
+    def _scan_data_triples(self) -> Dict[str, np.ndarray]:
+        """Standard scan data: shuffled triples stacked into [nb, bs, 3] with
+        a padded+masked final batch."""
+        bs = self.batch_size
+        perm = self._epoch_permutation(self.num_examples)
+        triples = self.triples[perm].astype(np.int32)
+        nb = math.ceil(len(triples) / bs)
+        pad = nb * bs - len(triples)
+        mask = np.ones(nb * bs, np.float32)
+        if pad:
+            triples = np.concatenate(
+                [triples, np.repeat(triples[-1:], pad, axis=0)]
+            )
+            mask[-pad:] = 0.0
+        return {
+            "triples": triples.reshape(nb, bs, 3),
+            "mask": mask.reshape(nb, bs),
+            "__size__": np.int64(self.num_examples),
+        }
 
     def _pad_batch(self, arr: np.ndarray, size: int) -> np.ndarray:
         """Pad the leading axis to ``size`` by repeating the last row."""

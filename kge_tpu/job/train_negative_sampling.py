@@ -97,6 +97,12 @@ class TrainingJobNegativeSampling(TrainingJob):
             else:
                 self._device_cdf = None
 
+    def _scan_data(self):
+        # scanning requires on-device sampling (no host arrays per batch)
+        if not self._on_device:
+            return None
+        return self._scan_data_triples()
+
     def _batches(self):
         perm = self._epoch_permutation(self.num_examples)
         bs = self.batch_size
