@@ -56,6 +56,12 @@ class EvaluationJob(TrainingOrEvaluationJob):
         job.epoch = checkpoint.get("epoch", -1)
         return job
 
+    def _load(self, checkpoint: Dict):
+        super()._load(checkpoint)
+        if "epoch" in checkpoint:
+            self.epoch = checkpoint["epoch"]
+        self.resumed_from_job_id = checkpoint.get("job_id")
+
     def _run(self) -> Dict[str, Any]:
         if self.model_params is None:
             raise ValueError(

@@ -38,6 +38,33 @@ def save_checkpoint(checkpoint: Dict[str, Any], filename: str):
     os.replace(tmpfile, filename)
 
 
+def get_checkpoint_file(config: Config, checkpoint_arg: str = "default") -> Optional[str]:
+    """Resolve a CLI checkpoint argument ('default', 'last', 'best', a
+    number, or a filename) to a path (reference kge/util/io.py:7-33)."""
+    from kge_tpu.misc import is_number
+
+    if checkpoint_arg == "default":
+        if config.get("job.type") in ("eval", "valid", "test"):
+            checkpoint_arg = "best"
+        else:
+            checkpoint_arg = "last"
+    if checkpoint_arg == "last":
+        cpt_epoch = config.last_checkpoint_number()
+        if cpt_epoch is None:
+            return None
+        return config.checkpoint_file(cpt_epoch)
+    elif checkpoint_arg == "best":
+        f = config.checkpoint_file("best")
+        if os.path.isfile(f):
+            return f
+        cpt_epoch = config.last_checkpoint_number()
+        return config.checkpoint_file(cpt_epoch) if cpt_epoch is not None else None
+    elif is_number(checkpoint_arg, int):
+        return config.checkpoint_file(int(checkpoint_arg))
+    else:
+        return checkpoint_arg
+
+
 def load_checkpoint(checkpoint_file: str, device: Optional[str] = None) -> Dict:
     """Load a checkpoint; adds its file/folder for downstream resume logic
     (reference kge/util/io.py:36-47)."""

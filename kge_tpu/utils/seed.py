@@ -21,6 +21,20 @@ def _derived_seed(base: int, name: str) -> int:
     return (base + h) % (2 ** 31)
 
 
+def apply_device_config(config: Config) -> None:
+    """Honor ``job.device``: 'cpu' forces the host backend (useful for tests
+    and tiny datasets), 'auto' keeps the default JAX platform (TPU when
+    present)."""
+    device = config.get("job.device")
+    if device == "cpu":
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass  # backend already initialized; leave as-is
+
+
 def seed_from_config(config: Config) -> int:
     """Seed host PRNGs; return the seed for the root jax key (or a random one)."""
     default = config.get("random_seed.default")
