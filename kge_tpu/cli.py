@@ -188,8 +188,11 @@ def main():
             if key == "search.device_pool":
                 value = "".join(value).split(",")
             try:
-                if isinstance(config.get(key), bool):
+                current = config.get(key)
+                if isinstance(current, bool):
                     value = argparse_bool_type(value)
+                elif isinstance(current, (list, dict)) and isinstance(value, str):
+                    value = yaml.safe_load(value)
             except KeyError:
                 pass
             # no create: a mistyped option name must fail loudly (keys under

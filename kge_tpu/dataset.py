@@ -232,6 +232,8 @@ class Dataset(Configurable):
     def _load_triples_file(filename: str, delimiter: str = "\t") -> np.ndarray:
         import pandas as pd
 
+        if os.path.getsize(filename) == 0:
+            return np.empty((0, 3), dtype=np.int32)
         df = pd.read_csv(
             filename,
             sep=delimiter,

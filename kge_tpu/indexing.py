@@ -84,10 +84,10 @@ class KvsAllIndex:
     def lookup_rows(self, key1: np.ndarray, key2: np.ndarray) -> np.ndarray:
         """Return index row for each query pair, or -1 when absent."""
         q = _pack_keys(np.asarray(key1), np.asarray(key2))
-        pos = np.searchsorted(self._keys_packed, q)
-        pos = np.minimum(pos, len(self._keys_packed) - 1)
         if len(self._keys_packed) == 0:
             return np.full(q.shape, -1, dtype=np.int64)
+        pos = np.searchsorted(self._keys_packed, q)
+        pos = np.minimum(pos, len(self._keys_packed) - 1)
         found = self._keys_packed[pos] == q
         return np.where(found, pos, -1)
 
@@ -102,6 +102,8 @@ class KvsAllIndex:
     def counts(self, rows: np.ndarray) -> np.ndarray:
         """Number of values per index row (0 for row -1)."""
         rows = np.asarray(rows)
+        if len(self._keys_packed) == 0:
+            return np.zeros(rows.shape, dtype=np.int64)
         safe = np.maximum(rows, 0)
         n = self._values_offset[safe + 1] - self._values_offset[safe]
         return np.where(rows < 0, 0, n)

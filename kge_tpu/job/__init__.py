@@ -8,7 +8,14 @@ from kge_tpu.job.train_KvsAll import TrainingJobKvsAll
 from kge_tpu.job.eval import EvaluationJob
 from kge_tpu.job.eval_entity_ranking import EntityRankingJob
 from kge_tpu.job.eval_training_loss import TrainingLossEvaluationJob
-from kge_tpu.job.search import SearchJob
+from kge_tpu.job.search_grash import GraSHSearchJob
+from kge_tpu.job.search import (
+    AutoSearchJob,
+    AxSearchJob,
+    GridSearchJob,
+    ManualSearchJob,
+    SearchJob,
+)
 
 __all__ = [
     "Job",
@@ -21,4 +28,9 @@ __all__ = [
     "EntityRankingJob",
     "TrainingLossEvaluationJob",
     "SearchJob",
+    "ManualSearchJob",
+    "GridSearchJob",
+    "AutoSearchJob",
+    "AxSearchJob",
+    "GraSHSearchJob",
 ]

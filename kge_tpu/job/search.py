@@ -1,21 +1,489 @@
-"""Hyperparameter search jobs (stub for now; full implementation follows the
-reference kge/job/search*.py in a later milestone)."""
+"""Hyperparameter search jobs.
+
+Re-implementation of the reference search machinery (kge/job/search*.py):
+trial scheduling over a worker pool, manual and grid search, the generic
+propose/observe auto-search loop with its own checkpointing, a quasi-random
+(Sobol) + random search job covering the reference's ax_search surface, and
+GraSH-style successive halving (see search_grash.py).
+
+Trials run in-process by default (one accelerator per host); with
+``search.num_workers > 1`` trials run in spawned worker processes pinned to
+devices from ``search.device_pool``.
+"""
 
 from __future__ import annotations
 
+import copy
+import gc
+import os
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from kge_tpu import misc
 from kge_tpu.config import Config
 from kge_tpu.dataset import Dataset
 from kge_tpu.job.job import Job
+from kge_tpu.utils.io import load_checkpoint, save_checkpoint
 
 
 class SearchJob(Job):
+    """Base class of jobs for hyperparameter search (reference search.py).
+
+    Provides ``submit_task``/``wait_task`` trial scheduling; results are
+    (trial_index, best_valid_trace, train_trace) tuples.
+    """
+
+    def __init__(self, config: Config, dataset: Dataset, parent_job=None):
+        super().__init__(config, dataset, parent_job)
+        self.num_workers = self.config.get("search.num_workers")
+        self.on_error = self.config.check(
+            "search.on_error", ["abort", "continue"]
+        )
+        self.device_pool: List[str] = list(config.get("search.device_pool"))
+        if not self.device_pool:
+            self.device_pool = [config.get("job.device")]
+        self._running: List = []
+        self.ready_task_results: List[Tuple] = []
+
+        if self.__class__ == SearchJob:
+            for f in Job.job_created_hooks:
+                f(self)
+
     @staticmethod
     def create(config: Config, dataset: Dataset, parent_job=None) -> "SearchJob":
-        from kge_tpu import misc
-
         search_type = config.get("search.type")
         class_name = config.get_default(search_type + ".class_name")
         return misc.init_from(
             class_name, config.get("modules"), config, dataset,
             parent_job=parent_job,
         )
+
+    # -- trial scheduling ------------------------------------------------------
+
+    def submit_task(self, task, wait_when_full: bool = True):
+        """Run or enqueue a trial callable."""
+        if self.num_workers <= 1:
+            result = task()
+            self.ready_task_results.append(result)
+        else:
+            import concurrent.futures
+
+            if not hasattr(self, "_executor"):
+                import multiprocessing
+
+                self._executor = concurrent.futures.ProcessPoolExecutor(
+                    max_workers=self.num_workers,
+                    mp_context=multiprocessing.get_context("spawn"),
+                )
+            if wait_when_full and len(self._running) >= self.num_workers:
+                self.wait_task()
+            future = self._executor.submit(task)
+            self._running.append(future)
+
+    def wait_task(self, return_when="FIRST_COMPLETED"):
+        """Wait for at least one running task; collect its result."""
+        if self._running:
+            import concurrent.futures
+
+            done, not_done = concurrent.futures.wait(
+                self._running,
+                return_when=getattr(concurrent.futures, return_when),
+            )
+            for f in done:
+                self.ready_task_results.append(f.result())
+            self._running = list(not_done)
+
+    # -- single-trial runner (reference search.py:107-232) --------------------
+
+    def _run_train_job(self, sicnk, device: Optional[str] = None):
+        """Run one search trial: (trial_no, config, trial_no_string, kwargs).
+
+        Returns (trial_no, best_valid_trace_entry or None, train_job_trace).
+        """
+        trial_no, config, trial_str, kwargs = sicnk
+        try:
+            os.makedirs(config.folder, exist_ok=True)
+            if not os.path.exists(os.path.join(config.folder, "config.yaml")):
+                config.init_folder()
+            # resume if a checkpoint exists
+            checkpoint_file = None
+            last = config.last_checkpoint_number()
+            if last is not None:
+                checkpoint_file = config.checkpoint_file(last)
+
+            config.log(
+                "Starting training job {} ({}) ...".format(
+                    trial_str, config.folder
+                )
+            )
+            if checkpoint_file is not None:
+                checkpoint = load_checkpoint(checkpoint_file)
+                job = Job.create_from(checkpoint, new_config=config)
+            else:
+                job = Job.create(config, dataset=self.dataset.shallow_copy()
+                                 if self._share_dataset(config) else None)
+            job.parent_job = self
+            best = job.run()
+
+            # copy the best validation trace entry into the search trace
+            valid_trace = getattr(job, "valid_trace", [])
+            metric_name = config.get("valid.metric")
+            best_entry = None
+            if valid_trace:
+                metric_max = config.get("valid.metric_max")
+                values = [t.get(metric_name, float("nan")) for t in valid_trace]
+                values = np.asarray(values, dtype=float)
+                idx = int(np.nanargmax(values) if metric_max else
+                          np.nanargmin(values))
+                best_entry = dict(valid_trace[idx])
+                self.config.trace(
+                    event="search_completed",
+                    echo=True, echo_prefix="  ", log=True,
+                    scope="train",
+                    train_job_id=job.job_id,
+                    folder=config.folder,
+                    metric_value=float(values[idx]),
+                    metric_name=metric_name,
+                    **{k: v for k, v in kwargs.items()},
+                )
+            del job
+            gc.collect()
+            return (trial_no, best_entry, None)
+        except BaseException as e:
+            self.config.log(
+                f"Trial {trial_str} failed: {e!r}"
+            )
+            if self.on_error == "continue":
+                return (trial_no, None, None)
+            raise
+
+    def _share_dataset(self, trial_config: Config) -> bool:
+        """Trials on the same dataset share the in-memory Dataset."""
+        try:
+            return trial_config.get("dataset.name") == self.config.get(
+                "dataset.name"
+            )
+        except KeyError:
+            return False
+
+
+class ManualSearchJob(SearchJob):
+    """Train with manually specified configurations
+    (reference search_manual.py)."""
+
+    def __init__(self, config, dataset, parent_job=None):
+        super().__init__(config, dataset, parent_job)
+        if self.__class__ == ManualSearchJob:
+            for f in Job.job_created_hooks:
+                f(self)
+
+    def _run(self):
+        configurations = self.config.get("manual_search.configurations")
+        self.config.log(f"Running {len(configurations)} configurations...")
+
+        tasks = []
+        for i, conf in enumerate(configurations):
+            conf = copy.deepcopy(conf)
+            folder = conf.pop("folder", str(i).zfill(5))
+            trial_config = self.config.clone(folder)
+            trial_config.set("job.type", "train")
+            flat = Config.flatten(conf)
+            trial_config.load_options(flat, create=True)
+            tasks.append((i, trial_config, folder, flat))
+
+        if not self.config.get("manual_search.run"):
+            for i, trial_config, folder, _ in tasks:
+                os.makedirs(trial_config.folder, exist_ok=True)
+                trial_config.init_folder()
+            self.config.log(
+                "Created trial folders; manual_search.run=False, stopping."
+            )
+            return None
+
+        for task in tasks:
+            self.submit_task(lambda t=task: self._run_train_job(t))
+        while self._running:
+            self.wait_task()
+
+        # summarize
+        results = sorted(self.ready_task_results, key=lambda r: r[0])
+        best = None
+        metric_name = self.config.get("valid.metric")
+        metric_max = self.config.get("valid.metric_max")
+        for trial_no, best_entry, _ in results:
+            if best_entry is None:
+                continue
+            value = best_entry.get(metric_name)
+            if best is None or (
+                value is not None
+                and (value > best[1] if metric_max else value < best[1])
+            ):
+                best = (trial_no, value)
+        if best is not None:
+            self.config.log(
+                f"Best trial: {best[0]} with {metric_name}={best[1]}"
+            )
+            self.trace(
+                event="search_completed", scope="search",
+                best_trial=best[0], metric_value=best[1],
+                metric_name=metric_name,
+            )
+        return results
+
+
+class GridSearchJob(SearchJob):
+    """Cartesian-product grid search, delegated to a manual search
+    (reference search_grid.py)."""
+
+    def __init__(self, config, dataset, parent_job=None):
+        super().__init__(config, dataset, parent_job)
+        if self.__class__ == GridSearchJob:
+            for f in Job.job_created_hooks:
+                f(self)
+
+    def _run(self):
+        import itertools
+
+        grid = Config.flatten(self.config.get("grid_search.parameters"))
+        if not grid:
+            raise ValueError("grid_search.parameters is empty")
+        keys = list(grid.keys())
+        value_lists = [
+            v if isinstance(v, list) else [v] for v in grid.values()
+        ]
+
+        def abbreviate(key: str, value) -> str:
+            short = "_".join(part[0:3] for part in key.split("."))
+            return f"{short}={value}"
+
+        configurations = []
+        for values in itertools.product(*value_lists):
+            entry: Dict[str, Any] = {}
+            name_parts = []
+            for k, v in zip(keys, values):
+                entry[k] = v
+                name_parts.append(abbreviate(k, v))
+            entry["folder"] = "-".join(name_parts)
+            configurations.append(entry)
+        self.config.log(
+            f"Grid search with {len(configurations)} configurations"
+        )
+        self.config.set(
+            "manual_search.configurations", configurations, create=True
+        )
+        self.config.set("manual_search.run", self.config.get("grid_search.run"))
+        manual = ManualSearchJob(self.config, self.dataset, parent_job=self)
+        return manual._run()
+
+
+# -- search-space handling (reference util/configspace_converter.py syntax) ---
+
+
+class SearchSpace:
+    """Ax-style search-space definition: a list of dicts with ``name``,
+    ``type`` (choice | range | fixed), ``values`` or ``bounds``, and optional
+    ``log_scale`` / ``value_type``."""
+
+    def __init__(self, parameters: List[Dict[str, Any]]):
+        self.parameters = parameters
+        self.tunable = [p for p in parameters if p["type"] != "fixed"]
+
+    @property
+    def num_tunable(self) -> int:
+        return len(self.tunable)
+
+    def from_unit(self, u: np.ndarray) -> Dict[str, Any]:
+        """Map a point of the unit hypercube to a configuration dict."""
+        out: Dict[str, Any] = {}
+        i = 0
+        for p in self.parameters:
+            if p["type"] == "fixed":
+                out[p["name"]] = p["value"]
+                continue
+            x = float(u[i])
+            i += 1
+            if p["type"] == "choice":
+                values = p["values"]
+                idx = min(int(x * len(values)), len(values) - 1)
+                out[p["name"]] = values[idx]
+            elif p["type"] == "range":
+                lo, hi = p["bounds"]
+                if p.get("log_scale", False):
+                    value = float(
+                        np.exp(np.log(lo) + x * (np.log(hi) - np.log(lo)))
+                    )
+                else:
+                    value = lo + x * (hi - lo)
+                if p.get("value_type") == "int" or (
+                    isinstance(lo, int) and isinstance(hi, int)
+                    and p.get("value_type") != "float"
+                ):
+                    value = int(round(value))
+                    value = max(lo, min(hi, value))
+                out[p["name"]] = value
+            else:
+                raise ValueError(f"unknown parameter type {p['type']}")
+        return out
+
+
+class AutoSearchJob(SearchJob):
+    """Generic propose/observe search with its own checkpointing so the
+    search itself can resume (reference search_auto.py)."""
+
+    def __init__(self, config, dataset, parent_job=None):
+        super().__init__(config, dataset, parent_job)
+        self.parameters: List[Dict[str, Any]] = []
+        self.results: List[Optional[Dict[str, Any]]] = []
+        if self.__class__ == AutoSearchJob:
+            for f in Job.job_created_hooks:
+                f(self)
+
+    # checkpoint of the search state
+    def save(self, filename):
+        self.config.log(f"Saving search checkpoint to {filename}")
+        save_checkpoint(
+            {
+                "type": "search",
+                "parameters": self.parameters,
+                "results": self.results,
+                "job_id": self.job_id,
+                "config": self.config,
+            },
+            filename,
+        )
+
+    def _load(self, checkpoint):
+        if checkpoint["type"] != "search":
+            raise ValueError("can only resume search checkpoints")
+        self.parameters = checkpoint["parameters"]
+        self.results = checkpoint["results"]
+        self.resumed_from_job_id = checkpoint.get("job_id")
+
+    def register_trial(self, parameters=None) -> Tuple[Optional[Dict], int]:
+        """Propose (or replay) the next trial; subclasses implement."""
+        raise NotImplementedError
+
+    def register_trial_result(self, trial_id, parameters, trace_entry):
+        raise NotImplementedError
+
+    def get_best_parameters(self):
+        metric_name = self.config.get("valid.metric")
+        metric_max = self.config.get("valid.metric_max")
+        values = [
+            r.get(metric_name) if r else None for r in self.results
+        ]
+        valid = [(i, v) for i, v in enumerate(values) if v is not None]
+        if not valid:
+            return None, None
+        best = max(valid, key=lambda t: t[1]) if metric_max else \
+            min(valid, key=lambda t: t[1])
+        return self.parameters[best[0]], best[1]
+
+    @property
+    def num_trials(self) -> int:
+        raise NotImplementedError
+
+    def _run(self):
+        metric_name = self.config.get("valid.metric")
+        # drop incomplete tail trials so they are re-proposed on resume
+        # (deterministic proposals regenerate the same parameters)
+        while self.results and self.results[-1] is None:
+            self.parameters.pop()
+            self.results.pop()
+        while True:
+            trial_no = len(self.parameters)
+            if trial_no >= self.num_trials:
+                break
+            parameters, trial_id = self.register_trial()
+            if parameters is None:
+                break
+            self.parameters.append(parameters)
+            self.results.append(None)
+
+            folder = str(trial_no).zfill(5)
+            trial_config = self.config.clone(folder)
+            trial_config.set("job.type", "train")
+            trial_config.load_options(
+                copy.deepcopy(parameters), create=True
+            )
+            self.save(self.config.checkpoint_file(1))
+
+            task = (trial_no, trial_config, folder, parameters)
+            self.submit_task(lambda t=task: self._run_train_job(t))
+            self.wait_task()
+            # collect results
+            for trial_no_r, best_entry, _ in self.ready_task_results:
+                self.results[trial_no_r] = best_entry
+                self.register_trial_result(
+                    trial_no_r, self.parameters[trial_no_r], best_entry
+                )
+            self.ready_task_results = []
+            self.save(self.config.checkpoint_file(1))
+
+        while self._running:
+            self.wait_task()
+            for trial_no_r, best_entry, _ in self.ready_task_results:
+                self.results[trial_no_r] = best_entry
+            self.ready_task_results = []
+
+        best_params, best_value = self.get_best_parameters()
+        self.config.log(
+            f"Best result ({metric_name}={best_value}): {best_params}"
+        )
+        self.trace(
+            event="search_completed", scope="search",
+            metric_name=metric_name,
+            metric_value=best_value,
+            best_parameters=best_params,
+        )
+        self.save(self.config.checkpoint_file(1))
+        return {"best_parameters": best_params, "metric_value": best_value}
+
+
+class AxSearchJob(AutoSearchJob):
+    """Quasi-random (Sobol) + random search over an Ax-style search space.
+
+    Covers the reference AxSearchJob surface (search_ax.py): a fixed-seed
+    Sobol phase whose sequence replays deterministically on resume, followed
+    by further trials (uniform random here; the reference uses GP+EI).
+    """
+
+    def __init__(self, config, dataset, parent_job=None):
+        super().__init__(config, dataset, parent_job)
+        self.space = SearchSpace(self.config.get("ax_search.parameters"))
+        self._num_trials = self.config.get("ax_search.num_trials")
+        num_sobol = self.config.get("ax_search.num_sobol_trials")
+        if num_sobol < 0:
+            num_sobol = min(self._num_trials, 2 * self.space.num_tunable)
+        self.num_sobol_trials = num_sobol
+        self.sobol_seed = self.config.get("ax_search.sobol_seed")
+        if self.__class__ == AxSearchJob:
+            for f in Job.job_created_hooks:
+                f(self)
+
+    @property
+    def num_trials(self):
+        return self._num_trials
+
+    def _sobol_points(self, n: int) -> np.ndarray:
+        from scipy.stats import qmc
+
+        d = max(self.space.num_tunable, 1)
+        sampler = qmc.Sobol(d=d, scramble=True, seed=self.sobol_seed)
+        return sampler.random(n)
+
+    def register_trial(self, parameters=None):
+        trial_no = len(self.parameters)
+        if trial_no < self.num_sobol_trials:
+            # regenerate the whole Sobol prefix so resume replays identically
+            # (reference search_ax.py:70-92)
+            points = self._sobol_points(self.num_sobol_trials)
+            u = points[trial_no]
+        else:
+            rng = np.random.default_rng(self.sobol_seed + 7919 * trial_no)
+            u = rng.random(max(self.space.num_tunable, 1))
+        return self.space.from_unit(u), trial_no
+
+    def register_trial_result(self, trial_id, parameters, trace_entry):
+        pass  # no model to update (random/quasi-random proposals)

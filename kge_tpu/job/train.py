@@ -277,6 +277,9 @@ class TrainingJob(TrainingOrEvaluationJob):
         return None
 
     def _make_step_fns(self, loss_for_batch):
+        if self._subbatch_size > 0:
+            loss_for_batch = self._subbatched(loss_for_batch)
+
         def loss_fn(params, batch, rng):
             loss_value, aux = loss_for_batch(params, batch, rng)
             # penalties (computed once per batch, reference train.py:417-435)
@@ -324,6 +327,53 @@ class TrainingJob(TrainingOrEvaluationJob):
     def _loss_for_batch(self, params, batch: Dict[str, jnp.ndarray], rng):
         """Strategy-specific loss: returns (summed-and-averaged loss, aux)."""
         raise NotImplementedError
+
+    def _subbatched(self, loss_for_batch):
+        """Wrap a batch loss into a sequential scan over subbatches (gradient
+        accumulation, reference train.py:595-610): caps live activation
+        memory at the subbatch size while keeping identical gradients — each
+        subbatch loss is normalized by the FULL batch size, so the summed
+        loss (and its gradient) matches the unsubbatched computation."""
+        sub = self._subbatch_size
+
+        def subbatched_loss(params, batch, rng):
+            bs = batch["mask"].shape[0]
+            if bs % sub != 0:
+                raise ValueError(
+                    f"train.batch_size={bs} must be divisible by "
+                    f"train.subbatch_size={sub}"
+                )
+            n_sub = bs // sub
+            denom = jnp.sum(batch["mask"])
+            per_example = {
+                k: v.reshape((n_sub, sub) + v.shape[1:])
+                for k, v in batch.items()
+                if hasattr(v, "shape") and v.shape and v.shape[0] == bs
+            }
+            shared = {
+                k: v for k, v in batch.items() if k not in per_example
+            }
+
+            def body(carry, xs):
+                subbatch, key, offset = xs
+                subbatch = dict(subbatch)
+                subbatch.update(shared)
+                subbatch["__denom__"] = denom
+                # lets coordinate-based labels (KvsAll) localize row indexes
+                subbatch["__row_offset__"] = offset
+                loss_value, aux = loss_for_batch(params, subbatch, key)
+                scalars = {"avg_loss": aux.get("avg_loss", loss_value)}
+                return carry, (loss_value, scalars)
+
+            keys = jax.random.split(rng, n_sub)
+            offsets = jnp.arange(n_sub) * sub
+            _, (losses, scalar_list) = jax.lax.scan(
+                body, None, (per_example, keys, offsets)
+            )
+            total = jnp.sum(losses)
+            return total, {"avg_loss": total}
+
+        return subbatched_loss
 
     # -- scan-based epoch (one compiled call per epoch) ------------------------
 
@@ -493,14 +543,23 @@ class TrainingJob(TrainingOrEvaluationJob):
             prepare_time_total += time.time() - prepare_start
 
             forward_start = time.time()
-            if self.is_forward_only:
-                cost, aux = self._get_loss_fn(variant)(
-                    self.model_params, device_batch, key
-                )
-            else:
-                (self.model_params, self.opt_state, cost, aux) = self._get_step_fn(
-                    variant
-                )(self.model_params, self.opt_state, device_batch, key, lr_vec)
+            while True:
+                try:
+                    if self.is_forward_only:
+                        cost, aux = self._get_loss_fn(variant)(
+                            self.model_params, device_batch, key
+                        )
+                    else:
+                        (self.model_params, self.opt_state, cost, aux) = (
+                            self._get_step_fn(variant)(
+                                self.model_params, self.opt_state,
+                                device_batch, key, lr_vec,
+                            )
+                        )
+                    break
+                except Exception as e:
+                    if not self._handle_oom(e):
+                        raise
             forward_time_total += time.time() - forward_start
 
             pending.append((cost, aux))
@@ -625,6 +684,34 @@ class TrainingJob(TrainingOrEvaluationJob):
             os.remove(filename)
 
     # -- helpers for subclasses ------------------------------------------------
+
+    def _handle_oom(self, e: Exception) -> bool:
+        """Device OOM auto-tuning: halve the subbatch size and rebuild the
+        compiled step (reference train.py:374-413). Returns True when the
+        failed call should be retried."""
+        message = str(e)
+        if "RESOURCE_EXHAUSTED" not in message and "Out of memory" not in message:
+            return False
+        if not self.config.get("train.subbatch_auto_tune"):
+            return False
+        new_size = (
+            self.batch_size // 2 if self._subbatch_size <= 0
+            else self._subbatch_size // 2
+        )
+        while new_size > 0 and self.batch_size % new_size != 0:
+            new_size -= 1
+        if new_size < 1:
+            return False
+        self.config.log(
+            f"Device out of memory; halving subbatch size to {new_size} "
+            "and retrying"
+        )
+        self._subbatch_size = new_size
+        self.config.set("train.subbatch_size", new_size, log=True)
+        if hasattr(self, "_jitted_epoch"):
+            del self._jitted_epoch
+        self._build_step_fn()
+        return True
 
     def _check_shardable(self):
         """Validate mesh divisibility constraints with actionable errors."""

@@ -57,7 +57,7 @@ class TrainingJob1vsAll(TrainingJob):
     def _loss_for_batch(self, params, batch, rng):
         triples = batch["triples"]
         mask = batch["mask"]
-        batch_size = jnp.sum(mask)
+        batch_size = batch.get("__denom__", jnp.sum(mask))
         ctx = Ctx(train=True, rng=rng, stats={})
 
         # object direction: score (s, p, ?) against all entities

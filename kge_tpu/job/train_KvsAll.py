@@ -154,7 +154,7 @@ class TrainingJobKvsAll(TrainingJob):
     def _loss_for_qtype(self, qtype, params, batch, rng):
         queries = batch["queries"]
         mask = batch["mask"]
-        batch_size = jnp.sum(mask)
+        batch_size = batch.get("__denom__", jnp.sum(mask))
         ctx = Ctx(train=True, rng=rng, stats={})
         vocab = self._vocab_size(qtype)
         bs = queries.shape[0]
@@ -170,11 +170,14 @@ class TrainingJobKvsAll(TrainingJob):
                                          ctx=ctx.fold(1))
 
         # densify the multi-hot labels; padded coords carry row index bs and
-        # are dropped by the scatter
+        # are dropped by the scatter. Under subbatching the coordinate rows
+        # refer to the full batch and are localized via __row_offset__.
+        offset = batch.get("__row_offset__", 0)
+        rows_raw = batch["label_rows"] - offset
+        valid = (rows_raw >= 0) & (rows_raw < bs)
+        rows = jnp.where(valid, rows_raw, bs)
         labels = jnp.zeros((bs + 1, vocab), dtype=scores.dtype)
-        labels = labels.at[batch["label_rows"], batch["label_cols"]].set(
-            1.0, mode="drop"
-        )
+        labels = labels.at[rows, batch["label_cols"]].set(1.0, mode="drop")
         labels = labels[:bs]
 
         if self.label_smoothing > 0 and qtype != "s_o":

@@ -220,7 +220,7 @@ class TrainingJobNegativeSampling(TrainingJob):
     def _loss_for_batch(self, params, batch, rng):
         triples = batch["triples"]
         mask = batch["mask"]
-        batch_size = jnp.sum(mask)
+        batch_size = batch.get("__denom__", jnp.sum(mask))
         ctx = Ctx(train=True, rng=rng, stats={})
         if self._on_device:
             batch = dict(batch)

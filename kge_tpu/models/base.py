@@ -676,6 +676,66 @@ class KgeModel(KgeBase):
         scorer_params = self._scorer.init_params(rng_s)
         if scorer_params:
             params["scorer"] = scorer_params
+        params = self._apply_pretrained(params)
+        return params
+
+    def _apply_pretrained(self, params: Params) -> Params:
+        """Initialize embeddings from a packaged model when configured
+        (``<embedder>.pretrain.model_filename``, reference
+        kge_model.py:399-450): rows are matched by external id."""
+
+        def pretrain_file(which: str) -> str:
+            key = f"{which}.pretrain.model_filename"
+            try:
+                return Configurable(
+                    self.config, self.configuration_key
+                ).get_option(key)
+            except KeyError:
+                return ""
+
+        ent_file = pretrain_file("entity_embedder")
+        rel_file = pretrain_file("relation_embedder")
+        if not ent_file and not rel_file:
+            return params
+        from kge_tpu.utils.io import load_checkpoint
+
+        cache: Dict[str, Any] = {}
+
+        def load(filename):
+            if filename not in cache:
+                self.config.log(
+                    f"Initializing embeddings from {filename}"
+                )
+                checkpoint = load_checkpoint(filename)
+                cache[filename] = KgeModel.create_from(checkpoint)
+            return cache[filename]
+
+        if ent_file:
+            pre_model, pre_params = load(ent_file)
+            ensure = Configurable(
+                self.config, self.configuration_key
+            ).get_option("entity_embedder.pretrain.ensure_all")
+            params["entity_embedder"] = self._entity_embedder.init_pretrained(
+                params["entity_embedder"],
+                pre_model.get_s_embedder(),
+                pre_params["entity_embedder"],
+                self.dataset.entity_ids(),
+                pre_model.dataset.entity_ids(),
+                ensure_all=ensure,
+            )
+        if rel_file:
+            pre_model, pre_params = load(rel_file)
+            ensure = Configurable(
+                self.config, self.configuration_key
+            ).get_option("relation_embedder.pretrain.ensure_all")
+            params["relation_embedder"] = self._relation_embedder.init_pretrained(
+                params["relation_embedder"],
+                pre_model.get_p_embedder(),
+                pre_params["relation_embedder"],
+                self.dataset.relation_ids(),
+                pre_model.dataset.relation_ids(),
+                ensure_all=ensure,
+            )
         return params
 
     def postprocess_params(self, params: Params) -> Params:

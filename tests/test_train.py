@@ -202,3 +202,73 @@ def test_rotate_phases_stay_normalized_after_training():
     job.run_epoch()
     phases = np.asarray(job.model_params["relation_embedder"]["embeddings"])
     assert (phases >= -np.pi).all() and (phases < np.pi).all()
+
+
+@pytest.mark.parametrize("train_type", STRATEGIES)
+def test_subbatch_invariance(train_type):
+    """Forward-only avg_loss is identical with and without subbatching
+    (the reference's core training invariant, tests/test_train.py:33-70)."""
+    values = {}
+    for sub in (-1, 3):
+        job = make_job(
+            train_type, forward_only=True,
+            # host-side sampling: negatives must not depend on subbatch rng
+            **{"train.subbatch_size": sub, "train.batch_size": 6,
+               "negative_sampling.on_device": "never"},
+        )
+        job._prepare()
+        job._is_prepared = True
+        job.epoch = 1
+        values[sub] = job.run_epoch()["avg_loss"]
+    assert values[-1] == pytest.approx(values[3], rel=1e-5), values
+
+
+@pytest.mark.parametrize("train_type", STRATEGIES)
+def test_subbatch_training_matches(train_type):
+    """One training epoch with gradient accumulation produces the same
+    parameters as without (identical gradients by construction)."""
+    import jax
+
+    params = {}
+    for sub in (-1, 3):
+        job = make_job(
+            train_type,
+            **{"train.subbatch_size": sub, "train.batch_size": 6,
+               "train.epoch_scan": "never",
+               "negative_sampling.on_device": "never"},
+        )
+        job._prepare()
+        job._is_prepared = True
+        job.epoch = 1
+        job.run_epoch()
+        params[sub] = job.model_params
+    for a, b in zip(jax.tree_util.tree_leaves(params[-1]),
+                    jax.tree_util.tree_leaves(params[3])):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5), train_type
+
+
+def test_pretrained_initialization(tmp_path):
+    """Embeddings initialize from a packaged model, matched by external id."""
+    import jax
+    from kge_tpu.utils.package import package_model
+    from kge_tpu.models import KgeModel
+
+    folder = str(tmp_path / "pre")
+    job = make_job("negative_sampling", folder=folder,
+                   **{"train.max_epochs": 1, "train.checkpoint.every": 1})
+    job.run()
+    pkg = package_model(job.config.checkpoint_file(1))
+
+    job2 = make_job(
+        "negative_sampling",
+        **{"complex.entity_embedder.pretrain.model_filename": pkg},
+    )
+    job2._prepare()
+    job2._is_prepared = True
+    trained = np.asarray(job.model_params["entity_embedder"]["embeddings"])
+    initialized = np.asarray(job2.model_params["entity_embedder"]["embeddings"])
+    assert np.allclose(trained, initialized)
+    # relations were NOT pretrained -> must differ from job's trained ones
+    r1 = np.asarray(job.model_params["relation_embedder"]["embeddings"])
+    r2 = np.asarray(job2.model_params["relation_embedder"]["embeddings"])
+    assert not np.allclose(r1, r2)
