@@ -98,7 +98,14 @@ class EntityRankingJob(EvaluationJob):
         self.filter_splits = list(config.get("entity_ranking.filter_splits"))
         if self.eval_split not in self.filter_splits:
             self.filter_splits.append(self.eval_split)
-        self.hits_at_k_s = list(config.get("entity_ranking.hits_at_k_s"))
+        # drop k's beyond the vocabulary (reference eval_entity_ranking.py:31-37)
+        max_k = min(
+            self.dataset.num_entities(),
+            max(config.get("entity_ranking.hits_at_k_s")),
+        )
+        self.hits_at_k_s = [
+            k for k in config.get("entity_ranking.hits_at_k_s") if k <= max_k
+        ]
         self.head_and_tail = config.get("entity_ranking.metrics_per.head_and_tail")
 
         self.hist_hooks = [hist_all]

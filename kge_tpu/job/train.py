@@ -223,7 +223,9 @@ class TrainingJob(TrainingOrEvaluationJob):
 
         from kge_tpu.parallel.mesh import DeviceCtx
 
-        self.device_ctx = DeviceCtx.create(self.config)
+        self.device_ctx = DeviceCtx.create(
+            self.config, batch_divisor=self.batch_size
+        )
 
         # initialize parameters unless restored from a checkpoint
         if self.model_params is None:
@@ -403,19 +405,51 @@ class TrainingJob(TrainingOrEvaluationJob):
 
     def _run_epoch_scanned(self, data: Dict[str, np.ndarray]) -> Dict[str, Any]:
         """Run the whole epoch as one jitted lax.scan over batches: zero
-        per-step dispatch and host work (the TPU-native hot path)."""
+        per-step dispatch and host work (the TPU-native hot path).
+
+        The training triples live on the device across epochs; shuffling and
+        batching happen inside the compiled epoch (a permutation plus
+        gathers), so the only per-epoch transfers are the rng key in and the
+        per-batch loss scalars out.
+        """
         epoch_start = time.time()
-        nb = data["mask"].shape[0]
         size = int(data.pop("__size__"))
-        lr_vec = self._current_lrs()
+        bs = self.batch_size
+        nb = math.ceil(size / bs)
+        pad = nb * bs - size
+
+        prepare_start = time.time()
+        if not hasattr(self, "_device_epoch_triples"):
+            # one extra dummy row serves the padding slots
+            triples = np.concatenate(
+                [data["triples_flat"], data["triples_flat"][-1:]], axis=0
+            )
+            arr = jnp.asarray(triples)
+            if self.device_ctx.active:
+                arr = jax.device_put(
+                    arr, self.device_ctx.replicated()
+                )
+            self._device_epoch_triples = arr
+        prepare_time = time.time() - prepare_start
 
         if not hasattr(self, "_jitted_epoch"):
             raw_step = self._raw_step
 
-            def epoch_fn(params, opt_state, stacked, rng, lr):
+            def epoch_fn(params, opt_state, triples_all, rng, lr):
+                perm_key, scan_key = jax.random.split(rng)
+                perm = jax.random.permutation(perm_key, size)
+                idx = jnp.concatenate(
+                    [perm, jnp.full((pad,), size, dtype=perm.dtype)]
+                ).reshape(nb, bs)
+                mask_all = (idx < size).astype(jnp.float32)
+
                 def body(carry, xs):
                     params, opt_state = carry
-                    batch, key = xs
+                    idx_b, mask_b, key = xs
+                    batch = {
+                        "triples": triples_all[idx_b],
+                        "mask": mask_b,
+                    }
                     params, opt_state, cost, aux = raw_step(
                         params, opt_state, batch, key, lr
                     )
@@ -425,36 +459,18 @@ class TrainingJob(TrainingOrEvaluationJob):
                     )
                     return (params, opt_state), ys
 
-                keys = jax.random.split(rng, stacked["mask"].shape[0])
+                keys = jax.random.split(scan_key, nb)
                 (params, opt_state), ys = jax.lax.scan(
-                    body, (params, opt_state), (stacked, keys)
+                    body, (params, opt_state), (idx, mask_all, keys)
                 )
                 return params, opt_state, ys
 
             self._jitted_epoch = jax.jit(epoch_fn, donate_argnums=(0, 1))
 
-        prepare_start = time.time()
-        if self.device_ctx.active:
-            specs = self.device_ctx.batch_shardings(
-                {k: v[0] for k, v in data.items()}
-            )
-            stacked = {
-                k: jax.device_put(
-                    v,
-                    None if specs[k] is None else jax.sharding.NamedSharding(
-                        self.device_ctx.mesh,
-                        jax.sharding.PartitionSpec(None, *specs[k].spec),
-                    ),
-                )
-                for k, v in data.items()
-            }
-        else:
-            stacked = {k: jnp.asarray(v) for k, v in data.items()}
-        prepare_time = time.time() - prepare_start
-
         key, self._root_key = _split_key(self._root_key)
         self.model_params, self.opt_state, ys = self._jitted_epoch(
-            self.model_params, self.opt_state, stacked, key, lr_vec
+            self.model_params, self.opt_state, self._device_epoch_triples,
+            key, lr_vec := self._current_lrs()
         )
         costs, losses, penalties = jax.device_get(ys)
 
@@ -736,22 +752,10 @@ class TrainingJob(TrainingOrEvaluationJob):
         return self._np_rng.permutation(n)
 
     def _scan_data_triples(self) -> Dict[str, np.ndarray]:
-        """Standard scan data: shuffled triples stacked into [nb, bs, 3] with
-        a padded+masked final batch."""
-        bs = self.batch_size
-        perm = self._epoch_permutation(self.num_examples)
-        triples = self.triples[perm].astype(np.int32)
-        nb = math.ceil(len(triples) / bs)
-        pad = nb * bs - len(triples)
-        mask = np.ones(nb * bs, np.float32)
-        if pad:
-            triples = np.concatenate(
-                [triples, np.repeat(triples[-1:], pad, axis=0)]
-            )
-            mask[-pad:] = 0.0
+        """Standard scan data: the flat triple array (device-resident after
+        the first epoch; shuffling happens inside the compiled epoch)."""
         return {
-            "triples": triples.reshape(nb, bs, 3),
-            "mask": mask.reshape(nb, bs),
+            "triples_flat": self.triples.astype(np.int32),
             "__size__": np.int64(self.num_examples),
         }
 

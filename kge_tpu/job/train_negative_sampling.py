@@ -154,19 +154,19 @@ class TrainingJobNegativeSampling(TrainingJob):
         # reference's WOR+upsampling construction is distributionally the
         # same, sampler.py:596-658). For shared_type=default, one spare is
         # drawn and each row's own positive (first match) is replaced by it.
+        # The replacement is expressed as an elementwise substitution of the
+        # spare score column — NOT a per-row column gather, which hits the
+        # TPU cross-lane-gather slow path.
         sample = draw(rng, (num + 1,))
-        base = jnp.broadcast_to(jnp.arange(num), (n, num))
+        out = {f"neg_unique_{slot}": sample}
         if self._sampler.shared_type == "default":
             pos = triples[:, slot]
             matches = sample[None, :num] == pos[:, None]
             has_match = matches.any(axis=1)
             first = jnp.argmax(matches, axis=1)
-            gather = jnp.where(
-                (base == first[:, None]) & has_match[:, None], num, base
-            )
-        else:
-            gather = base
-        return {f"neg_unique_{slot}": sample, f"neg_gather_{slot}": gather}
+            out[f"neg_first_{slot}"] = first
+            out[f"neg_hasmatch_{slot}"] = has_match
+        return out
 
     def _score_negatives(self, params, triples, slot, batch, ctx: Ctx):
         """Score the negatives of one slot -> [n, num] (in-jit; static
@@ -174,12 +174,23 @@ class TrainingJobNegativeSampling(TrainingJob):
         num = int(self._sampler.num_samples[slot])
         n = triples.shape[0]
         if f"neg_unique_{slot}" in batch:
-            # shared negatives: score against the padded unique targets, then
-            # gather per-row columns
+            # shared negatives: score against the padded unique targets
             targets = batch[f"neg_unique_{slot}"]
             all_scores = self._score_targets(params, triples, slot, targets, ctx)
-            gather = batch[f"neg_gather_{slot}"]
-            return jnp.take_along_axis(all_scores, gather, axis=1)
+            if f"neg_first_{slot}" in batch:
+                # on-device shared default: substitute the spare column for
+                # each row's own positive (elementwise, no lane gather)
+                neg = all_scores[:, :num]
+                spare = all_scores[:, num]
+                first = batch[f"neg_first_{slot}"]
+                has_match = batch[f"neg_hasmatch_{slot}"]
+                cols = jnp.arange(num)[None, :]
+                replace = (cols == first[:, None]) & has_match[:, None]
+                return jnp.where(replace, spare[:, None], neg)
+            if f"neg_gather_{slot}" in batch:
+                gather = batch[f"neg_gather_{slot}"]
+                return jnp.take_along_axis(all_scores, gather, axis=1)
+            return all_scores[:, :num]
         samples = batch[f"neg_samples_{slot}"]
         if self._implementation == "triple":
             cols = [triples[:, 0:1], triples[:, 1:2], triples[:, 2:3]]

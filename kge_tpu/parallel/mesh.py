@@ -35,7 +35,10 @@ class DeviceCtx:
         return self.mesh.size if self.mesh is not None else 1
 
     @staticmethod
-    def create(config: Config, devices=None) -> "DeviceCtx":
+    def create(config: Config, devices=None, batch_divisor=None) -> "DeviceCtx":
+        """Build the (data, model) mesh. With `parallel.data: -1` (auto) and a
+        `batch_divisor` (the batch size), the data axis shrinks to the largest
+        device count that divides the batch, so toy runs work out of the box."""
         if devices is None:
             devices = jax.devices()
         data = config.get("parallel.data")
@@ -45,6 +48,9 @@ class DeviceCtx:
             model = 1
         if data <= 0:
             data = n // model
+            if batch_divisor is not None:
+                while data > 1 and batch_divisor % data != 0:
+                    data -= 1
         if data * model > n:
             raise ValueError(
                 f"mesh {data}x{model} needs {data * model} devices, "
