@@ -230,10 +230,21 @@ class Dataset(Configurable):
 
     @staticmethod
     def _load_triples_file(filename: str, delimiter: str = "\t") -> np.ndarray:
-        import pandas as pd
-
         if os.path.getsize(filename) == 0:
             return np.empty((0, 3), dtype=np.int32)
+        if delimiter in ("\t", None):
+            # native C++ parser (the reference leans on pandas.read_csv for
+            # the same reason, dataset.py:196: numpy's loadtxt is too slow)
+            from kge_tpu import native
+
+            try:
+                triples = native.parse_triples(filename)
+            except ValueError:
+                triples = None  # malformed for the fast path; let pandas try
+            if triples is not None:
+                return triples
+        import pandas as pd
+
         df = pd.read_csv(
             filename,
             sep=delimiter,

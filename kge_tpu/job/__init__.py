@@ -7,6 +7,7 @@ from kge_tpu.job.train_1vsAll import TrainingJob1vsAll
 from kge_tpu.job.train_KvsAll import TrainingJobKvsAll
 from kge_tpu.job.eval import EvaluationJob
 from kge_tpu.job.eval_entity_ranking import EntityRankingJob
+from kge_tpu.job.eval_entity_pair_ranking import EntityPairRankingJob
 from kge_tpu.job.eval_training_loss import TrainingLossEvaluationJob
 from kge_tpu.job.search_grash import GraSHSearchJob
 from kge_tpu.job.search import (
@@ -26,6 +27,7 @@ __all__ = [
     "TrainingJobKvsAll",
     "EvaluationJob",
     "EntityRankingJob",
+    "EntityPairRankingJob",
     "TrainingLossEvaluationJob",
     "SearchJob",
     "ManualSearchJob",

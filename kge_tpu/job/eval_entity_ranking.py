@@ -3,23 +3,26 @@
 For each test triple (s,p,o), all (s,p,?) and (?,p,o) completions are scored
 chunk-by-chunk over the entity range; ranks count strictly-greater scores
 excluding ties (isclose with configurable tolerances), known positives are
-filtered by pushing their scores to -inf, and final ranks follow the
-configured tie policy. Metrics (MRR, Hits@k, mean rank — raw, filtered and
-filtered-with-test, plus head/tail, relation-type, and frequency drill-downs)
-are computed from per-example ranks.
+filtered out, and final ranks follow the configured tie policy. Metrics (MRR,
+Hits@k, mean rank — raw, filtered and filtered-with-test, plus head/tail,
+relation-type, and frequency drill-downs) are computed from per-example ranks.
 
-TPU design: one jitted chunk kernel (static chunk size, traced chunk offset)
-computes scores, the consistency diff against the precomputed true scores,
-and the (rank, tie) increments for all three rankings at once. Filter labels
-arrive as padded coordinate lists (bucketed) and are scattered on device.
+TPU design (differs from the reference's dense label matrices,
+eval_entity_ranking.py:489-569): one jitted batch kernel scores all entity
+chunks with a ``lax.fori_loop``, computes raw (rank, tie) counts from the
+score matrix, and *subtracts* the contribution of known positives via a
+coordinate gather — known positives per row are few, so gathering their
+scores and segment-summing their (greater, close) counts replaces the
+batch×|E| label scatter entirely. The whole epoch runs as one jitted
+``lax.scan`` over stacked batches — a single device dispatch and a single
+device→host fetch per evaluation.
 """
 
 from __future__ import annotations
 
 import math
 import time
-from functools import partial
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -132,141 +135,192 @@ class EntityRankingJob(EvaluationJob):
         else:
             self.chunk_size = self.dataset.num_entities()
         self.model.prepare_job(self)
-        self._chunk_fn = jax.jit(
-            partial(self._chunk_kernel), static_argnames=("num_coords",)
-        )
-        self._true_fn = jax.jit(self._true_scores_kernel)
+        # one jitted scan over all batches of the epoch: a single device
+        # dispatch and a single device->host fetch per evaluation
+        self._scan_fn = jax.jit(self._eval_scan_kernel)
 
     # -- label coords ----------------------------------------------------------
 
-    def _label_coords(self, batch: np.ndarray, splits: List[str]):
+    def _label_coords(
+        self, batch: np.ndarray, splits: List[str]
+    ) -> Tuple[np.ndarray, np.ndarray]:
         """(row, col) coords of known positives over [0, 2E): sp labels in
-        [0, E), po labels in [E, 2E)."""
+        [0, E), po labels in [E, 2E). The triple's own answer is excluded
+        (the reference instead zeroes it in the dense label matrix,
+        eval_entity_ranking.py:282-290) and duplicates across splits are
+        dropped (idempotent in the reference's scatter; required for the
+        subtraction design)."""
         E = self.dataset.num_entities()
         rows_all, cols_all = [], []
         for split in splits:
             sp = self.dataset.index(f"{split}_sp_to_o")
             po = self.dataset.index(f"{split}_po_to_s")
             r, v = sp.get_all_coords(batch[:, S], batch[:, P])
-            rows_all.append(r)
-            cols_all.append(v.astype(np.int64))
+            keep = v != batch[r, O].astype(v.dtype)
+            rows_all.append(r[keep])
+            cols_all.append(v[keep].astype(np.int64))
             r, v = po.get_all_coords(batch[:, P], batch[:, O])
-            rows_all.append(r)
-            cols_all.append(v.astype(np.int64) + E)
+            keep = v != batch[r, S].astype(v.dtype)
+            rows_all.append(r[keep])
+            cols_all.append(v[keep].astype(np.int64) + E)
         rows = np.concatenate(rows_all)
         cols = np.concatenate(cols_all)
-        return rows, cols
+        packed = rows * (2 * E) + cols
+        packed = np.unique(packed)
+        return packed // (2 * E), packed % (2 * E)
 
-    @staticmethod
-    def _pad_coords(rows, cols, n_drop_row):
-        cap = _bucket(len(rows))
-        out_r = np.full(cap, n_drop_row, dtype=np.int64)
-        out_c = np.zeros(cap, dtype=np.int64)
-        out_r[: len(rows)] = rows
-        out_c[: len(cols)] = cols
-        return out_r, out_c
+    # -- device kernel ---------------------------------------------------------
 
-    # -- device kernels --------------------------------------------------------
-
-    def _true_scores_kernel(self, params, s, p, o):
-        """True scores via the sp_/_po scoring path for float consistency with
-        the ranking matrix (reference eval_entity_ranking.py:186-203)."""
-        n = s.shape[0]
-        o_true = self.model.score_sp(params, s, p, o)[jnp.arange(n), jnp.arange(n)]
-        s_true = self.model.score_po(params, p, o, s)[jnp.arange(n), jnp.arange(n)]
-        return o_true, s_true
-
-    def _chunk_kernel(self, params, s, p, o, o_true, s_true, chunk_start,
-                      coords, num_coords):
-        """Score one entity chunk and return (rank, tie) increments for the
-        raw / filtered / filtered-with-test rankings plus consistency diffs.
-
-        ``coords`` maps ranking name -> (rows, cols) padded label coords over
-        [0, 2E); ``num_coords`` is the static padded length bucket (part of
-        the jit key).
-        """
-        n = s.shape[0]
-        E = self.dataset.num_entities()
-        c = self.chunk_size
-        entity_subset = chunk_start + jnp.arange(c)
-        valid_col = (entity_subset < E)
-
-        scores = self.model.score_sp_po(params, s, p, o, entity_subset)
-        scores_sp = scores[:, :c]
-        scores_po = scores[:, c:]
-        # mask out-of-range padding columns of the last chunk
-        neg_inf = jnp.array(-jnp.inf, scores.dtype)
-        scores_sp = jnp.where(valid_col[None, :], scores_sp, neg_inf)
-        scores_po = jnp.where(valid_col[None, :], scores_po, neg_inf)
-
-        # consistency check data: |chunk score at true position - true score|
-        o_in = (o >= chunk_start) & (o < chunk_start + c) & (o < E)
-        s_in = (s >= chunk_start) & (s < chunk_start + c) & (s < E)
-        o_pos = jnp.clip(o - chunk_start, 0, c - 1)
-        s_pos = jnp.clip(s - chunk_start, 0, c - 1)
-        rows = jnp.arange(n)
-        diff_o = jnp.where(
-            o_in, jnp.abs(scores_sp[rows, o_pos] - o_true), 0.0
-        )
-        diff_s = jnp.where(
-            s_in, jnp.abs(scores_po[rows, s_pos] - s_true), 0.0
-        )
-        ref_o = jnp.where(o_in, jnp.abs(o_true), 0.0)
-        ref_s = jnp.where(s_in, jnp.abs(s_true), 0.0)
-        max_diff = jnp.maximum(
-            jnp.max(diff_o - (self.tie_atol + self.tie_rtol * ref_o)),
-            jnp.max(diff_s - (self.tie_atol + self.tie_rtol * ref_s)),
-        )
-
-        results = {}
-        for ranking, (lab_rows, lab_cols) in coords.items():
-            if lab_rows is not None:
-                # densify the label chunk: [n, 2c]; cols outside the chunk or
-                # padded rows are dropped
-                col_sp = lab_cols - chunk_start
-                in_sp = (lab_cols >= chunk_start) & (lab_cols < chunk_start + c)
-                col_po = lab_cols - E - chunk_start + c
-                in_po = (lab_cols >= E + chunk_start) & (lab_cols < E + chunk_start + c)
-                col = jnp.where(in_sp, col_sp, jnp.where(in_po, col_po, 0))
-                keep = in_sp | in_po
-                r = jnp.where(keep, lab_rows, n)  # row n = dropped
-                labels = jnp.zeros((n + 1, 2 * c), dtype=scores.dtype)
-                labels = labels.at[r, col].set(1.0, mode="drop")
-                labels = labels[:n]
-                # never filter the current example itself
-                labels = labels.at[rows, o_pos].set(
-                    jnp.where(o_in, 0.0, labels[rows, o_pos])
-                )
-                labels = labels.at[rows, s_pos + c].set(
-                    jnp.where(s_in, 0.0, labels[rows, s_pos + c])
-                )
-                sp = jnp.where(labels[:, :c] > 0, neg_inf, scores_sp)
-                po = jnp.where(labels[:, c:] > 0, neg_inf, scores_po)
-            else:
-                sp, po = scores_sp, scores_po
-            o_rank, o_ties = self._ranks_and_ties(sp, o_true)
-            s_rank, s_ties = self._ranks_and_ties(po, s_true)
-            results[ranking] = (s_rank, s_ties, o_rank, o_ties)
-            # subsequent rankings build on the filtered scores
-            scores_sp, scores_po = sp, po
-        return results, max_diff
-
-    def _ranks_and_ties(self, scores, true_scores):
-        """#strictly-greater (excluding ties) and #ties per row
-        (reference eval_entity_ranking.py:598-618)."""
+    def _close_greater(self, scores, true):
+        """Tie (isclose) and strictly-greater masks with the reference's
+        NaN/-inf conventions (eval_entity_ranking.py:598-618)."""
         scores = jnp.where(jnp.isnan(scores), -jnp.inf, scores)
-        true = jnp.where(jnp.isnan(true_scores), -jnp.inf, true_scores)[:, None]
+        true = jnp.where(jnp.isnan(true), -jnp.inf, true)
         finite = jnp.isfinite(scores) | jnp.isfinite(true)
         is_close = (
             jnp.abs(scores - true) <= self.tie_atol + self.tie_rtol * jnp.abs(true)
         )
-        # -inf vs -inf compares close in torch.isclose; replicate
         both_neg_inf = jnp.isneginf(scores) & jnp.isneginf(true)
         is_close = jnp.where(both_neg_inf, True, is_close & finite)
-        is_greater = scores > true
-        num_ties = jnp.sum(is_close, axis=1)
-        rank = jnp.sum(is_greater & ~is_close, axis=1)
-        return rank, num_ties
+        is_greater = (scores > true) & ~is_close
+        return is_close, is_greater
+
+    def _eval_scan_kernel(self, params, triples_all, coords_all):
+        """lax.scan of ``_rank_batch`` over stacked batches [B, n, 3] with
+        per-ranking stacked label coords [B, cap]."""
+
+        def body(carry, xs):
+            results, max_diff = self._rank_batch(
+                params,
+                xs["triples"][:, S], xs["triples"][:, P], xs["triples"][:, O],
+                {r: (v[0], v[1]) for r, v in xs["coords"].items()},
+            )
+            return carry, (results, max_diff)
+
+        _, ys = jax.lax.scan(
+            body, None, {"triples": triples_all, "coords": coords_all}
+        )
+        return ys
+
+    def _rank_batch(self, params, s, p, o, coords):
+        """Rank one batch: raw (rank, tie) counts from chunked full-vocabulary
+        scores, minus gathered per-positive counts for each filtered ranking.
+
+        ``coords`` maps ranking name -> (rows, cols) padded label coords over
+        [0, 2E) (rows == n marks padding). Returns per-ranking
+        (s_rank, s_ties, o_rank, o_ties) plus the consistency excess.
+        """
+        n = s.shape[0]
+        E = self.dataset.num_entities()
+        c = self.chunk_size
+        num_chunks = (E + c - 1) // c
+        rows_n = jnp.arange(n)
+
+        # true scores via the sp_/_po scoring path for float consistency with
+        # the ranking matrix (reference eval_entity_ranking.py:186-203)
+        o_true = self.model.score_sp(params, s, p, o)[rows_n, rows_n]
+        s_true = self.model.score_po(params, p, o, s)[rows_n, rows_n]
+
+        rankings = ["_raw"] + list(coords.keys())
+
+        def chunk_body(chunk_number, carry):
+            acc, max_diff = carry
+            chunk_start = chunk_number * c
+            entity_subset = chunk_start + jnp.arange(c)
+            valid_col = entity_subset < E
+
+            scores = self.model.score_sp_po(params, s, p, o, entity_subset)
+            neg_inf = jnp.array(-jnp.inf, scores.dtype)
+            scores_sp = jnp.where(valid_col[None, :], scores[:, :c], neg_inf)
+            scores_po = jnp.where(valid_col[None, :], scores[:, c:], neg_inf)
+
+            # consistency data: |chunk score at true position - true score|
+            o_in = (o >= chunk_start) & (o < chunk_start + c)
+            s_in = (s >= chunk_start) & (s < chunk_start + c)
+            o_pos = jnp.clip(o - chunk_start, 0, c - 1)
+            s_pos = jnp.clip(s - chunk_start, 0, c - 1)
+            diff_o = jnp.where(
+                o_in, jnp.abs(scores_sp[rows_n, o_pos] - o_true), 0.0
+            )
+            diff_s = jnp.where(
+                s_in, jnp.abs(scores_po[rows_n, s_pos] - s_true), 0.0
+            )
+            ref_o = jnp.where(o_in, jnp.abs(o_true), 0.0)
+            ref_s = jnp.where(s_in, jnp.abs(s_true), 0.0)
+            max_diff = jnp.maximum(
+                max_diff,
+                jnp.maximum(
+                    jnp.max(diff_o - (self.tie_atol + self.tie_rtol * ref_o)),
+                    jnp.max(diff_s - (self.tie_atol + self.tie_rtol * ref_s)),
+                ),
+            )
+
+            # raw counts over the chunk
+            close_o, greater_o = self._close_greater(scores_sp, o_true[:, None])
+            close_s, greater_s = self._close_greater(scores_po, s_true[:, None])
+            out = dict(acc)
+            raw = acc["_raw"]
+            out["_raw"] = (
+                raw[0] + jnp.sum(greater_s, axis=1),
+                raw[1] + jnp.sum(close_s, axis=1),
+                raw[2] + jnp.sum(greater_o, axis=1),
+                raw[3] + jnp.sum(close_o, axis=1),
+            )
+
+            # filtered rankings: subtract gathered positive contributions
+            for ranking in rankings:
+                if ranking == "_raw":
+                    continue
+                lab_rows, lab_cols = coords[ranking]
+                is_sp = lab_cols < E
+                local = jnp.where(
+                    is_sp, lab_cols - chunk_start, lab_cols - E - chunk_start
+                )
+                in_window = (local >= 0) & (local < c)
+                valid = in_window & (lab_rows < n)
+                r_cl = jnp.clip(lab_rows, 0, n - 1)
+                l_cl = jnp.clip(local, 0, c - 1)
+                vals = jnp.where(
+                    is_sp, scores_sp[r_cl, l_cl], scores_po[r_cl, l_cl]
+                )
+                true = jnp.where(is_sp, o_true[r_cl], s_true[r_cl])
+                close, greater = self._close_greater(vals, true)
+                close &= valid
+                greater &= valid
+
+                def seg(mask, side):
+                    m = (mask & (is_sp == (side == "o"))).astype(jnp.int32)
+                    return jnp.zeros(n, jnp.int32).at[r_cl].add(
+                        jnp.where(valid, m, 0)
+                    )
+
+                sub = acc[ranking]
+                out[ranking] = (
+                    sub[0] + seg(greater, "s"),
+                    sub[1] + seg(close, "s"),
+                    sub[2] + seg(greater, "o"),
+                    sub[3] + seg(close, "o"),
+                )
+            return out, max_diff
+
+        zeros = lambda: tuple(jnp.zeros(n, jnp.int32) for _ in range(4))
+        acc0 = {r: zeros() for r in rankings}
+        acc, max_diff = jax.lax.fori_loop(
+            0, num_chunks, chunk_body, (acc0, jnp.array(-jnp.inf, jnp.float32)),
+        )
+
+        # final counts: filtered = raw - subtracted positives
+        results = {}
+        raw = acc["_raw"]
+        for ranking in rankings:
+            if ranking == "_raw":
+                results[ranking] = raw
+            else:
+                sub = acc[ranking]
+                results[ranking] = tuple(
+                    jnp.maximum(raw[i] - sub[i], 0) for i in range(4)
+                )
+        return results, max_diff
 
     def _final_rank(self, rank, num_ties):
         if self.tie_handling == "rounded_mean_rank":
@@ -285,7 +339,6 @@ class EntityRankingJob(EvaluationJob):
             self._is_prepared = True
         epoch_start = time.time()
         params = self.model_params
-        E = self.dataset.num_entities()
         filter_with_test = (
             "test" not in self.filter_splits and self.filter_with_test
         )
@@ -294,11 +347,11 @@ class EntityRankingJob(EvaluationJob):
             else ["_raw", "_filt"]
         )
 
+        num_batches = math.ceil(len(self.triples) / self.batch_size)
         self.current_trace["epoch"] = dict(
             type="entity_ranking", scope="epoch", split=self.eval_split,
             filter_splits=self.filter_splits, epoch=self.epoch,
-            batches=math.ceil(len(self.triples) / self.batch_size),
-            size=len(self.triples),
+            batches=num_batches, size=len(self.triples),
         )
         for f in self.pre_epoch_hooks:
             f(self)
@@ -306,9 +359,11 @@ class EntityRankingJob(EvaluationJob):
         hists: Dict[str, Dict[str, np.ndarray]] = {
             r[1:] or "raw": {} for r in rankings
         }
-        num_chunks = math.ceil(E / self.chunk_size)
-        consistency_violated = False
 
+        # host pass: pad every batch, build its label coords
+        batches, coords_lists = [], {"_filt": []}
+        if filter_with_test:
+            coords_lists["_filt_test"] = []
         for batch_number in range(0, len(self.triples), self.batch_size):
             batch = self.triples[batch_number : batch_number + self.batch_size]
             n_true = len(batch)
@@ -325,69 +380,68 @@ class EntityRankingJob(EvaluationJob):
             for f in self.pre_batch_hooks:
                 f(self)
 
-            # label coords per ranking
-            rows_f, cols_f = self._label_coords(padded, self.filter_splits)
-            coords_np = {"_raw": (None, None)}
-            coords_np["_filt"] = self._pad_coords(
-                rows_f, cols_f, self.batch_size
+            coords_lists["_filt"].append(
+                self._label_coords(padded, self.filter_splits)
             )
             if filter_with_test:
-                rows_t, cols_t = self._label_coords(padded, ["test"])
-                coords_np["_filt_test"] = self._pad_coords(
-                    rows_t, cols_t, self.batch_size
+                # _filt_test filters the union of filter_splits and test
+                # (the reference applies test labels on top of the already
+                # filtered scores, eval_entity_ranking.py:277-313)
+                coords_lists["_filt_test"].append(
+                    self._label_coords(padded, self.filter_splits + ["test"])
                 )
+            batches.append((batch, n_true, padded))
 
-            s = jnp.asarray(padded[:, S])
-            p = jnp.asarray(padded[:, P])
-            o = jnp.asarray(padded[:, O])
-            o_true, s_true = self._true_fn(params, s, p, o)
+            if "batch" in self.current_trace and self.current_trace["batch"]:
+                for f in self.post_batch_hooks:
+                    f(self)
+                self.current_trace["batch"] = None
 
-            acc = {
-                r: [np.zeros(self.batch_size, np.int64) for _ in range(4)]
-                for r in rankings
+        # stack to [B, ...] with one global coordinate cap per ranking
+        triples_all = np.stack([padded for _, _, padded in batches]).astype(
+            np.int32
+        )
+        coords_all = {}
+        for r, lst in coords_lists.items():
+            cap = _bucket(max(len(rows) for rows, _ in lst))
+            rows_all = np.full((len(lst), cap), self.batch_size, dtype=np.int32)
+            cols_all = np.zeros((len(lst), cap), dtype=np.int32)
+            for i, (rows, cols) in enumerate(lst):
+                rows_all[i, : len(rows)] = rows
+                cols_all[i, : len(cols)] = cols
+            coords_all[r] = (rows_all, cols_all)
+
+        # single device dispatch + single fetch for the whole epoch
+        results_all, max_diff_all = jax.device_get(
+            self._scan_fn(params, jnp.asarray(triples_all), coords_all)
+        )
+
+        consistency_violated = False
+        for i, (batch, n_true, _) in enumerate(batches):
+            results = {
+                r: tuple(x[i] for x in results_all[r]) for r in results_all
             }
-            num_coords = tuple(
-                len(coords_np[r][0]) if coords_np[r][0] is not None else 0
-                for r in rankings
-            )
-            coords_dev = {
-                r: (
-                    (jnp.asarray(coords_np[r][0]), jnp.asarray(coords_np[r][1]))
-                    if coords_np[r][0] is not None else (None, None)
+            max_diff = max_diff_all[i]
+            if float(max_diff) > 0:
+                msg = (
+                    "Error in tie-handling: spo and sp_/_po scores differ "
+                    "beyond the configured tolerances "
+                    f"(max excess {float(max_diff):.3e})."
                 )
-                for r in rankings
-            }
-            for chunk_number in range(num_chunks):
-                chunk_start = self.chunk_size * chunk_number
-                results, max_diff = self._chunk_fn(
-                    params, s, p, o, o_true, s_true,
-                    jnp.asarray(chunk_start), coords_dev,
-                    num_coords=num_coords,
-                )
-                if float(max_diff) > 0:
-                    msg = (
-                        "Error in tie-handling: spo and sp_/_po scores differ "
-                        "beyond the configured tolerances "
-                        f"(max excess {float(max_diff):.3e})."
-                    )
-                    if self.config.get("entity_ranking.tie_handling.warn_only"):
-                        if not consistency_violated:
-                            self.config.log("WARNING: " + msg)
-                            consistency_violated = True
-                    else:
-                        raise ValueError(msg)
-                for r in rankings:
-                    for i in range(4):
-                        acc[r][i] += np.asarray(results[r][i])
+                if self.config.get("entity_ranking.tie_handling.warn_only"):
+                    if not consistency_violated:
+                        self.config.log("WARNING: " + msg)
+                        consistency_violated = True
+                else:
+                    raise ValueError(msg)
 
-            # final ranks (1-based for metrics)
             batch_ranks = {}
             for r in rankings:
-                s_rank = self._final_rank(acc[r][0], acc[r][1])[:n_true]
-                o_rank = self._final_rank(acc[r][2], acc[r][3])[:n_true]
+                res = [np.asarray(x) for x in results[r]]
+                s_rank = self._final_rank(res[0], res[1])[:n_true]
+                o_rank = self._final_rank(res[2], res[3])[:n_true]
                 batch_ranks[r] = (s_rank, o_rank)
 
-            # update histograms via hooks
             for r in rankings:
                 key = r[1:] or "raw"
                 s_rank, o_rank = batch_ranks[r]
@@ -397,14 +451,8 @@ class EntityRankingJob(EvaluationJob):
                         s_rank, o_rank, self,
                     )
 
-            # optional per-example trace
             if self.config.get("eval.trace_level") == "example":
                 self._trace_examples(batch, batch_ranks, rankings)
-
-            if "batch" in self.current_trace and self.current_trace["batch"]:
-                for f in self.post_batch_hooks:
-                    f(self)
-                self.current_trace["batch"] = None
 
         # compute metrics
         metrics: Dict[str, Any] = {}

@@ -174,16 +174,30 @@ class KgeSampler(Configurable):
         return negative_samples
 
     def _filter_and_resample_fast(self, negative_samples, slot, positive_triples):
-        """Vectorized batch-level filtering: find all sample positions that
-        collide with a known positive, resample those positions, repeat
-        until clean. Replaces the reference's numba kernel
-        (sampler.py:700-752) with whole-batch numpy passes."""
+        """Batch-level filtering: find all sample positions that collide with
+        a known positive and resample them until clean. Uses the native C++
+        kernel when available (kge_tpu/native, the TPU build's replacement
+        for the reference's numba kernel, sampler.py:700-752), otherwise
+        whole-batch numpy passes."""
         index = self._positives_index(slot)
         cols = [[P, O], [S, O], [S, P]][slot]
         pairs = positive_triples[:, cols]
         n, m = negative_samples.shape
         rows_idx = index.lookup_rows(pairs[:, 0], pairs[:, 1])
         keys, offsets, values = index.csr()
+
+        from kge_tpu import native
+
+        if native.available():
+            samples = np.ascontiguousarray(negative_samples, dtype=np.int64)
+            cdf = self._cdf[slot] if hasattr(self, "_cdf") else None
+            replaced = native.filter_resample(
+                samples, rows_idx, offsets, values,
+                int(self.vocabulary_size[slot]),
+                seed=int(self._rng.integers(0, 2**63)), cdf=cdf,
+            )
+            if replaced is not None:
+                return samples
 
         def collision_mask(samples):
             # for each (row, sample): is sample among the row's positives?

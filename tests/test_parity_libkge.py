@@ -306,3 +306,70 @@ def test_optimizer_update_parity(opt_name):
     assert np.allclose(
         tw.detach().numpy(), np.asarray(params["w"]), atol=1e-5, rtol=1e-4
     ), np.abs(tw.detach().numpy() - np.asarray(params["w"])).max()
+
+
+@pytest.mark.parametrize("chunk_size", [-1, 25])
+def test_entity_ranking_parity(tmp_path, chunk_size):
+    """Filtered entity-ranking metrics (raw / filtered / filtered_with_test,
+    MRR, Hits@k, mean rank) must match the reference's EntityRankingJob on a
+    shared synthetic dataset with identical model weights."""
+    from tests.util import make_synthetic_dataset
+
+    folder = make_synthetic_dataset(
+        tmp_path / "rank_synth", num_entities=64, num_relations=8,
+        num_train=512, num_valid=48, num_test=48, seed=3,
+    )
+
+    # reference run
+    from kge import Config as RefConfig, Dataset as RefDataset
+    from kge.job import EvaluationJob as RefEvaluationJob
+    from kge.model import KgeModel as RefKgeModel
+
+    ref_config = RefConfig()
+    ref_config.set("console.quiet", True)
+    ref_config.set("job.device", "cpu")
+    ref_config.set("model", "complex")
+    ref_config._import("complex")
+    ref_config.set("dataset.name", "rank_synth")
+    ref_config.set("eval.split", "valid")
+    ref_config.folder = str(tmp_path / "ref_exp")
+    ref_config.init_folder()
+    torch.manual_seed(7)
+    ref_dataset = RefDataset.create(ref_config, folder=str(folder))
+    ref_model = RefKgeModel.create(ref_config, ref_dataset)
+    ref_model.eval()
+    ref_job = RefEvaluationJob.create(ref_config, ref_dataset, model=ref_model)
+    ref_trace = ref_job.run()
+
+    # our run with the reference's weights
+    from kge_tpu import Config, Dataset
+    from kge_tpu.job import EvaluationJob
+    from kge_tpu.models import KgeModel
+
+    config = Config()
+    config.set("console.quiet", True)
+    config.load_options({"model": "complex"})
+    config.set("dataset.name", "rank_synth")
+    config.set("eval.split", "valid")
+    config.set("entity_ranking.chunk_size", chunk_size)
+    config.set("parallel.data", 1)
+    config.set("parallel.model", 1)
+    dataset = Dataset.create(config, folder=str(folder))
+    model = KgeModel.create(config, dataset)
+    params = model.init_params(jax.random.PRNGKey(0))
+    params = copy_tables(ref_model, params)
+    job = EvaluationJob.create(config, dataset, model=model)
+    job.model_params = params
+    job.epoch = 0
+    trace = job._evaluate()
+
+    keys = [
+        k for k in ref_trace
+        if k.startswith(("mean_rank", "mean_reciprocal_rank", "hits_at_"))
+    ]
+    assert "mean_reciprocal_rank_filtered_with_test" in keys
+    for k in keys:
+        assert k in trace, k
+        assert np.isclose(ref_trace[k], trace[k], atol=1e-9), (
+            k, ref_trace[k], trace[k]
+        )
