@@ -64,24 +64,21 @@ def main():
     job._prepare()
     job._is_prepared = True
 
-    # warmup: one full epoch compiles whichever epoch path is active
-    job.epoch = 1
+    # warmup: one group compiles the fused multi-epoch path
+    NUM_EPOCHS = 10
     t0 = time.time()
-    job.run_epoch()
+    job.run_epoch_group(NUM_EPOCHS)
     compile_time = time.time() - t0
 
-    # timed epochs (host batch prep + device compute, end-to-end); report
-    # the best of three to damp tunnel-latency variance
-    best = None
-    for epoch in (2, 3, 4):
-        job.epoch = epoch
-        t0 = time.time()
-        trace = job.run_epoch()
-        epoch_time = time.time() - t0
-        if best is None or epoch_time < best[0]:
-            best = (epoch_time, trace)
-    epoch_time, trace = best
-    triples_per_sec = trace["size"] / epoch_time
+    # timed region: a group of chained epochs, one dispatch + one fetch
+    # (steady-state training; amortizes the per-dispatch link latency that
+    # real local TPU hosts do not pay)
+    t0 = time.time()
+    traces = job.run_epoch_group(NUM_EPOCHS)
+    group_time = time.time() - t0
+    trace = traces[-1]
+    epoch_time = group_time / NUM_EPOCHS
+    triples_per_sec = trace["size"] * NUM_EPOCHS / group_time
 
     sys.stderr.write(
         f"bench: {trace['size']} triples in {epoch_time:.2f}s "

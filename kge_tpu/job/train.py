@@ -412,7 +412,98 @@ class TrainingJob(TrainingOrEvaluationJob):
         gathers), so the only per-epoch transfers are the rng key in and the
         per-batch loss scalars out.
         """
-        epoch_start = time.time()
+        ys, meta = self._dispatch_epoch_scanned(data)
+        return self._finalize_epoch_scanned(jax.device_get(ys), meta)
+
+    def run_epoch_group(self, num_epochs: int) -> List[Dict[str, Any]]:
+        """Run ``num_epochs`` consecutive epochs with ONE deferred device
+        fetch for the whole group (scanned path): epochs chain on device
+        through donated state, so per-epoch host round-trips — expensive over
+        remote device links — are paid once per group. Increments
+        ``self.epoch`` per epoch (unlike ``run_epoch``). Steps a non-metric
+        LR scheduler between epochs. Falls back to sequential ``run_epoch``
+        when the scanned path is unavailable."""
+        if not self._is_prepared:
+            self._prepare()
+            self._is_prepared = True
+        base_traces = []
+        data = self._scan_data() if (
+            num_epochs > 1 and self._epoch_scan_enabled()
+        ) else None
+        if data is None:
+            traces = []
+            for _ in range(num_epochs):
+                self.epoch += 1
+                traces.append(self.run_epoch())
+                if not self.kge_lr_scheduler.metric_based:
+                    self.kge_lr_scheduler.step()
+            return traces
+        # build inputs for the whole group: per-epoch rng keys and lr vectors
+        # (the non-metric scheduler is stepped between epochs host-side)
+        group_start = time.time()
+        size, nb, prepare_time = self._ensure_epoch_scan(data)
+        keys, lrs = [], []
+        for _ in range(num_epochs):
+            self.epoch += 1
+            base = dict(
+                type=self.type_str, scope="epoch", epoch=self.epoch,
+                split=self.train_split, batches=0, size=0,
+            )
+            self.current_trace["epoch"] = base
+            for f in self.pre_epoch_hooks:
+                f(self)
+            base_traces.append(base)
+            key, self._root_key = _split_key(self._root_key)
+            keys.append(key)
+            lrs.append(self._current_lrs())
+            if not self.kge_lr_scheduler.metric_based:
+                self.kge_lr_scheduler.step()
+
+        # one jitted scan over epochs (cached per group size): a single
+        # device dispatch + a single fetch for the entire group
+        if num_epochs not in self._jitted_epoch_groups:
+            epoch_fn = self._epoch_fn
+
+            def group_fn(params, opt_state, triples_all, keys, lrs):
+                def body(carry, xs):
+                    params, opt_state = carry
+                    key, lr = xs
+                    params, opt_state, ys = epoch_fn(
+                        params, opt_state, triples_all, key, lr
+                    )
+                    return (params, opt_state), ys
+
+                (params, opt_state), ys_all = jax.lax.scan(
+                    body, (params, opt_state), (keys, lrs)
+                )
+                return params, opt_state, ys_all
+
+            self._jitted_epoch_groups[num_epochs] = jax.jit(
+                group_fn, donate_argnums=(0, 1)
+            )
+
+        self.model_params, self.opt_state, ys_all = (
+            self._jitted_epoch_groups[num_epochs](
+                self.model_params, self.opt_state, self._device_epoch_triples,
+                jnp.stack(keys), jnp.stack(lrs),
+            )
+        )
+        fetched_all = jax.device_get(ys_all)
+
+        traces = []
+        for i, base in enumerate(base_traces):
+            fetched = jax.tree_util.tree_map(lambda x: x[i], fetched_all)
+            meta = dict(
+                epoch_start=group_start, prepare_time=prepare_time,
+                nb=nb, size=size, epoch=base["epoch"],
+            )
+            self.current_trace["epoch"] = base
+            traces.append(self._finalize_epoch_scanned(fetched, meta))
+        return traces
+
+    def _ensure_epoch_scan(self, data: Dict[str, np.ndarray]):
+        """Put the epoch data on device and build the pure epoch function +
+        its single-epoch jit; returns (size, nb, prepare_time)."""
         size = int(data.pop("__size__"))
         bs = self.batch_size
         nb = math.ceil(size / bs)
@@ -432,7 +523,7 @@ class TrainingJob(TrainingOrEvaluationJob):
             self._device_epoch_triples = arr
         prepare_time = time.time() - prepare_start
 
-        if not hasattr(self, "_jitted_epoch"):
+        if not hasattr(self, "_epoch_fn"):
             raw_step = self._raw_step
 
             def epoch_fn(params, opt_state, triples_all, rng, lr):
@@ -465,14 +556,32 @@ class TrainingJob(TrainingOrEvaluationJob):
                 )
                 return params, opt_state, ys
 
+            self._epoch_fn = epoch_fn
             self._jitted_epoch = jax.jit(epoch_fn, donate_argnums=(0, 1))
+            self._jitted_epoch_groups = {}
+        return size, nb, prepare_time
 
+    def _dispatch_epoch_scanned(self, data: Dict[str, np.ndarray]):
+        """Dispatch one scanned epoch without fetching its per-batch scalars;
+        returns (device ys, meta for ``_finalize_epoch_scanned``)."""
+        epoch_start = time.time()
+        size, nb, prepare_time = self._ensure_epoch_scan(data)
         key, self._root_key = _split_key(self._root_key)
         self.model_params, self.opt_state, ys = self._jitted_epoch(
             self.model_params, self.opt_state, self._device_epoch_triples,
-            key, lr_vec := self._current_lrs()
+            key, self._current_lrs()
         )
-        costs, losses, penalties = jax.device_get(ys)
+        meta = dict(
+            epoch_start=epoch_start, prepare_time=prepare_time,
+            nb=nb, size=size, epoch=self.epoch,
+        )
+        return ys, meta
+
+    def _finalize_epoch_scanned(self, fetched, meta) -> Dict[str, Any]:
+        """Build the epoch trace entry from fetched per-batch scalars."""
+        costs, losses, penalties = fetched
+        nb, size = meta["nb"], meta["size"]
+        epoch_start, prepare_time = meta["epoch_start"], meta["prepare_time"]
 
         sum_cost = float(np.sum(costs))
         if self.abort_on_nan and math.isnan(sum_cost):
@@ -724,8 +833,9 @@ class TrainingJob(TrainingOrEvaluationJob):
         )
         self._subbatch_size = new_size
         self.config.set("train.subbatch_size", new_size, log=True)
-        if hasattr(self, "_jitted_epoch"):
-            del self._jitted_epoch
+        for attr in ("_jitted_epoch", "_epoch_fn", "_jitted_epoch_groups"):
+            if hasattr(self, attr):
+                delattr(self, attr)
         self._build_step_fn()
         return True
 

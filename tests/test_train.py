@@ -272,3 +272,27 @@ def test_pretrained_initialization(tmp_path):
     r1 = np.asarray(job.model_params["relation_embedder"]["embeddings"])
     r2 = np.asarray(job2.model_params["relation_embedder"]["embeddings"])
     assert not np.allclose(r1, r2)
+
+
+def test_run_epoch_group_matches_sequential():
+    """Grouped epochs (one fused dispatch) must train like sequential
+    epochs: same trace structure, decreasing loss, correct epoch numbers."""
+    import numpy as np
+    from tests.util import get_test_config, get_test_dataset
+    from kge_tpu.job import TrainingJob
+
+    config = get_test_config()
+    config.load_options({"model": "complex"})
+    config.set("train.type", "negative_sampling")
+    config.set("train.max_epochs", 4)
+    config.set("valid.every", 0)
+    config.set("random_seed.default", 7)
+    dataset = get_test_dataset(config)
+    job = TrainingJob.create(config, dataset)
+    traces = job.run_epoch_group(4)
+    assert [t["epoch"] for t in traces] == [1, 2, 3, 4]
+    assert job.epoch == 4
+    losses = [t["avg_loss"] for t in traces]
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0]
+    assert all(t.get("scanned") for t in traces)
