@@ -227,6 +227,20 @@ class TrainingJob(TrainingOrEvaluationJob):
             self.config, batch_divisor=self.batch_size
         )
 
+        # pallas embedding-gather gradient (single-device TPU only: pallas
+        # calls do not auto-partition over a mesh)
+        from kge_tpu.ops import pallas_ops
+
+        mode = self.config.check(
+            "train.pallas_gather", ["auto", "never", "always"]
+        )
+        use_pallas = mode == "always" or (
+            mode == "auto"
+            and not self.device_ctx.active
+            and jax.default_backend() == "tpu"
+        )
+        pallas_ops.set_gather_mode("pallas" if use_pallas else "xla")
+
         # initialize parameters unless restored from a checkpoint
         if self.model_params is None:
             key, self._root_key = _split_key(self._root_key)
@@ -430,6 +444,10 @@ class TrainingJob(TrainingOrEvaluationJob):
         data = self._scan_data() if (
             num_epochs > 1 and self._epoch_scan_enabled()
         ) else None
+        if data is not None and "triples_flat" not in data:
+            # strategy with per-epoch host-built scan inputs (e.g. KvsAll):
+            # epochs dispatch individually, scalars still fetched deferred
+            data = None
         if data is None:
             traces = []
             for _ in range(num_epochs):

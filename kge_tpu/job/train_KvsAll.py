@@ -197,10 +197,120 @@ class TrainingJobKvsAll(TrainingJob):
         import functools
 
         self._steps = {}
+        self._raw_steps = {}
         for qtype in self.query_types:
             self._steps[qtype] = self._make_step_fns(
                 functools.partial(self._loss_for_qtype, qtype)
             )
+            self._raw_steps[qtype] = self._raw_step
+
+    # -- scanned epoch ----------------------------------------------------------
+
+    def _scan_data(self):
+        """Marker enabling the scanned path; the actual stacking happens per
+        epoch in ``_dispatch_epoch_scanned`` because the label coordinates
+        depend on the epoch shuffle."""
+        return {"__size__": self.num_examples, "__kvsall__": 1}
+
+    def _stack_epoch_batches(self):
+        """Group this epoch's homogeneous batches by query type and stack
+        them into [nb, ...] arrays with one global coordinate cap per type."""
+        per: Dict[str, List[Dict]] = {}
+        for batch in self._batches():
+            per.setdefault(batch["qtype"], []).append(batch)
+        stacks = {}
+        if not hasattr(self, "_scan_caps"):
+            self._scan_caps = {}
+        for qtype, bl in per.items():
+            nb = len(bl)
+            bs = self.batch_size
+            # sticky cap: pad to the largest coordinate count seen so far
+            # (bucketed) so repeated epochs hit the same compiled shapes
+            cap = max(
+                _bucket(max(len(b["label_rows"]) for b in bl), 2048),
+                self._scan_caps.get(qtype, 0),
+            )
+            self._scan_caps[qtype] = cap
+            queries = np.stack([b["queries"] for b in bl]).astype(np.int32)
+            masks = np.stack([b["mask"] for b in bl])
+            rows = np.full((nb, cap), bs, dtype=np.int32)
+            cols = np.zeros((nb, cap), dtype=np.int32)
+            for i, b in enumerate(bl):
+                rows[i, : len(b["label_rows"])] = b["label_rows"]
+                cols[i, : len(b["label_cols"])] = b["label_cols"]
+            stacks[qtype] = dict(
+                queries=queries, mask=masks, label_rows=rows, label_cols=cols,
+            )
+        return stacks
+
+    def _dispatch_epoch_scanned(self, data):
+        """One jitted lax.scan per query type over its stacked batches;
+        optimizer state chains on device across the per-type scans, and the
+        per-batch scalars of all types come back in one deferred fetch."""
+        import time as _time
+
+        epoch_start = _time.time()
+        prepare_start = _time.time()
+        stacks = self._stack_epoch_batches()
+        prepare_time = _time.time() - prepare_start
+
+        if not hasattr(self, "_jitted_qtype_scans"):
+            self._jitted_qtype_scans = {}
+        for qtype in stacks:
+            if qtype not in self._jitted_qtype_scans:
+                raw_step = self._raw_steps[qtype]
+
+                def scan_fn(params, opt_state, st, keys, lr, _raw=raw_step):
+                    def body(carry, xs):
+                        params, opt_state = carry
+                        batch, key = xs
+                        params, opt_state, cost, aux = _raw(
+                            params, opt_state, batch, key, lr
+                        )
+                        ys = (
+                            cost, aux["avg_loss"],
+                            dict(aux.get("penalties", {})),
+                        )
+                        return (params, opt_state), ys
+
+                    (params, opt_state), ys = jax.lax.scan(
+                        body, (params, opt_state),
+                        ({k: v for k, v in st.items()}, keys),
+                    )
+                    return params, opt_state, ys
+
+                self._jitted_qtype_scans[qtype] = jax.jit(
+                    scan_fn, donate_argnums=(0, 1)
+                )
+
+        from kge_tpu.job.train import _split_key
+
+        lr = self._current_lrs()
+        params, opt_state = self.model_params, self.opt_state
+        ys_list = []
+        nb_total = 0
+        for qtype, st in stacks.items():
+            nb = st["queries"].shape[0]
+            nb_total += nb
+            key, self._root_key = _split_key(self._root_key)
+            keys = jax.random.split(key, nb)
+            params, opt_state, ys = self._jitted_qtype_scans[qtype](
+                params, opt_state, st, keys, lr
+            )
+            ys_list.append(ys)
+        self.model_params, self.opt_state = params, opt_state
+
+        costs = jnp.concatenate([y[0] for y in ys_list])
+        losses = jnp.concatenate([y[1] for y in ys_list])
+        pen_keys = ys_list[0][2].keys()
+        penalties = {
+            k: jnp.concatenate([y[2][k] for y in ys_list]) for k in pen_keys
+        }
+        meta = dict(
+            epoch_start=epoch_start, prepare_time=prepare_time,
+            nb=nb_total, size=self.num_examples, epoch=self.epoch,
+        )
+        return (costs, losses, penalties), meta
 
     def _step_variant(self, batch):
         return batch["qtype"]

@@ -386,7 +386,9 @@ class LookupEmbedder(KgeEmbedder):
         return params
 
     def embed(self, params: Params, indexes, ctx: Ctx) -> jax.Array:
-        emb = params["embeddings"][indexes]
+        from kge_tpu.ops import pallas_ops
+
+        emb = pallas_ops.embedding_gather(params["embeddings"], indexes)
         return _dropout(emb, self.dropout, ctx)
 
     def embed_all(self, params: Params, ctx: Ctx) -> jax.Array:

@@ -1,0 +1,217 @@
+"""Pallas TPU kernels for the embedding hot path.
+
+The one op where XLA is far from speed-of-light in this workload is the
+scatter-add that backs every embedding-lookup gradient (the reference hits
+the same op through torch.nn.Embedding's backward): XLA's TPU scatter
+applies row updates near-serially (~110ns/row measured). The kernel here
+reformulates scatter-add as *sorted block-sparse matmuls*: updates are
+sorted by row id, each ROW_TILE-row output tile owns a contiguous range of
+the sorted updates, and the tile accumulates `one_hot(ids_chunk) @ upd_chunk`
+products on the MXU — turning random-access accumulation into dense matmuls
+over only the updates that actually touch the tile (SpMM-style, per the
+project north star).
+
+``embedding_gather`` wraps a plain gather with a custom VJP whose backward
+uses this kernel. It is enabled explicitly by jobs via ``set_gather_mode``
+(single-device TPU only — under a sharded mesh the XLA scatter path is used
+because pallas calls do not auto-partition).
+
+All kernels have XLA fallbacks and run under ``interpret=True`` off-TPU so
+CPU tests exercise the same code path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+ROW_TILE = 512  # output rows per grid step
+UPD_TILE = 256  # sorted updates consumed per MXU matmul
+
+
+def _backend() -> str:
+    try:
+        return jax.default_backend()
+    except Exception:  # pragma: no cover - backend probing never raises in practice
+        return "cpu"
+
+
+_gather_mode = "xla"  # "xla" | "pallas"
+
+
+def set_gather_mode(mode: str) -> None:
+    """Select the embedding-gather implementation ("xla" or "pallas").
+
+    Jobs call this during preparation; "pallas" routes lookup gradients
+    through the sorted block-sparse scatter kernel (single-device TPU path).
+    """
+    global _gather_mode
+    assert mode in ("xla", "pallas"), mode
+    _gather_mode = mode
+
+
+def gather_mode() -> str:
+    return _gather_mode
+
+
+def _pad_to(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _scatter_kernel(starts_ref, ids_ref, upd_hbm, out_ref, scratch, sem,
+                    *, max_chunks: int, upd_tile: int):
+    """One output tile [ROW_TILE, D]: accumulate one-hot matmuls over the
+    tile's sorted-update range. Padded/foreign ids never match the tile's
+    row range, so no masking is needed beyond the id comparison."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    t = pl.program_id(0)
+    base_row = t * ROW_TILE
+    # align the range start down to the update tile so dynamic slices are
+    # provably lane-aligned; extra leading updates belong to earlier row
+    # tiles and never match this tile's one-hot comparison
+    start = (starts_ref[t] // upd_tile) * upd_tile
+    count = starts_ref[t + 1] - start
+
+    out_ref[:] = jnp.zeros_like(out_ref)
+
+    def chunk(ci, _):
+        @pl.when(ci * upd_tile < count)
+        def _():
+            off = pl.multiple_of(start + ci * upd_tile, upd_tile)
+            dma = pltpu.make_async_copy(
+                upd_hbm.at[pl.ds(off, upd_tile), :], scratch, sem
+            )
+            dma.start()
+            ids_c = ids_ref[0:1, pl.ds(off, upd_tile)]  # [1, UPD_TILE]
+            rows = base_row + jax.lax.broadcasted_iota(
+                jnp.int32, (ROW_TILE, upd_tile), 0
+            )
+            one_hot = (ids_c == rows).astype(jnp.float32)
+            dma.wait()
+            # manual 3-way bf16 split of the updates (the one-hot factor is
+            # exact in bf16): recovers ~f32 precision from 3 MXU passes —
+            # Mosaic supports only DEFAULT/HIGHEST dot precisions in-kernel
+            x = scratch[:].astype(jnp.float32)
+            hi = x.astype(jnp.bfloat16)
+            mid_f = x - hi.astype(jnp.float32)
+            mid = mid_f.astype(jnp.bfloat16)
+            lo = (mid_f - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+            oh16 = one_hot.astype(jnp.bfloat16)
+            acc = jax.lax.dot(
+                oh16, hi, preferred_element_type=jnp.float32
+            )
+            acc += jax.lax.dot(
+                oh16, mid, preferred_element_type=jnp.float32
+            )
+            acc += jax.lax.dot(
+                oh16, lo, preferred_element_type=jnp.float32
+            )
+            out_ref[:] += acc.astype(out_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, max_chunks, chunk, 0, unroll=False)
+
+
+def sorted_scatter_add(
+    ids: jax.Array, upd: jax.Array, num_rows: int,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Dense [num_rows, D] result of scattering ``upd`` rows at ``ids``.
+
+    Equivalent to ``jnp.zeros((num_rows, D)).at[ids].add(upd)``; implemented
+    as sorted block-sparse MXU matmuls (see module docstring).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = _backend() != "tpu"
+
+    n, d = upd.shape
+    dtype = upd.dtype
+    d_pad = _pad_to(d, 128)
+    rows_pad = _pad_to(max(num_rows, ROW_TILE), ROW_TILE)
+    num_tiles = rows_pad // ROW_TILE
+    n_pad = _pad_to(n, UPD_TILE) + UPD_TILE  # slack so dynamic slices stay in-bounds
+
+    order = jnp.argsort(ids)
+    ids_s = ids[order].astype(jnp.int32)
+    upd_s = upd[order]
+    if d_pad != d:
+        upd_s = jnp.pad(upd_s, ((0, 0), (0, d_pad - d)))
+    upd_s = jnp.pad(upd_s, ((0, n_pad - n), (0, 0)))
+    # pad ids with a sentinel that matches no row tile
+    ids_s = jnp.pad(ids_s, (0, n_pad - n), constant_values=rows_pad + 1)
+
+    tile_bounds = (jnp.arange(num_tiles + 1) * ROW_TILE).astype(jnp.int32)
+    starts = jnp.searchsorted(ids_s[:n], tile_bounds).astype(jnp.int32)
+
+    max_chunks = -(-n // UPD_TILE) + 1  # +1 for the alignment spill-over
+
+    kernel = functools.partial(
+        _scatter_kernel, max_chunks=max_chunks, upd_tile=UPD_TILE
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, n_pad), lambda t, starts: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (ROW_TILE, d_pad), lambda t, starts: (t, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((UPD_TILE, d_pad), dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((rows_pad, d_pad), dtype),
+        interpret=interpret,
+    )(starts, ids_s.reshape(1, -1), upd_s)
+    return out[:num_rows, :d]
+
+
+def _xla_scatter_add(ids, upd, num_rows):
+    return jnp.zeros((num_rows, upd.shape[1]), upd.dtype).at[ids].add(upd)
+
+
+@jax.custom_vjp
+def _pallas_gather(table, ids):
+    return table[ids]
+
+
+def _pallas_gather_fwd(table, ids):
+    return table[ids], (ids, table.shape[0])
+
+
+def _pallas_gather_bwd(res, g):
+    ids, num_rows = res
+    flat_ids = ids.reshape(-1)
+    flat_g = g.reshape(-1, g.shape[-1])
+    d_table = sorted_scatter_add(flat_ids, flat_g, num_rows)
+    zeros = np.zeros(ids.shape, dtype=jax.dtypes.float0)
+    return d_table, zeros
+
+
+_pallas_gather.defvjp(_pallas_gather_fwd, _pallas_gather_bwd)
+
+
+def embedding_gather(table: jax.Array, ids: jax.Array) -> jax.Array:
+    """table[ids] whose gradient scatter uses the pallas kernel when the
+    gather mode is "pallas" (trace-time decision)."""
+    if _gather_mode == "pallas":
+        return _pallas_gather(table, ids)
+    return table[ids]
