@@ -118,3 +118,35 @@ def test_sharded_checkpoint_roundtrip(synth_folder):
     job2.config.set("train.max_epochs", 2)
     job2.run()
     assert job2.epoch == 2
+
+
+def test_sharded_eval_matches_single_device(synth_folder):
+    """Filtered entity-ranking metrics must be identical whether the entity
+    table is replicated on one device or row-sharded over the mesh (the
+    score matmuls and rank reductions partition via GSPMD)."""
+    from kge_tpu.job import EvaluationJob
+
+    results = {}
+    for name, (d, m) in (("single", (1, 1)), ("sharded", (2, 4))):
+        job = make_job(synth_folder, d, m)
+        job._prepare()
+        job._is_prepared = True
+        ev = EvaluationJob.create(job.config, job.dataset, job, job.model)
+        ev.model_params = job.model_params
+        ev.epoch = 1
+        results[name] = ev._evaluate()
+
+    for k in results["single"]:
+        if k.startswith(("mean_rank", "mean_reciprocal_rank", "hits_at_")):
+            assert np.isclose(
+                results["single"][k], results["sharded"][k], atol=1e-9
+            ), (k, results["single"][k], results["sharded"][k])
+
+
+def test_run_epoch_group_sharded(synth_folder):
+    """Grouped fused epochs must work under a device mesh too."""
+    job = make_job(synth_folder, 4, 2)
+    traces = job.run_epoch_group(3)
+    losses = [t["avg_loss"] for t in traces]
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
