@@ -285,11 +285,15 @@ class Config:
     def load_options(self, new_options, create=False, overwrite=Overwrite.Yes,
                      allow_deprecated=True):
         """Update options with the given options dict."""
+        # process deprecated keys first so renamed model/module names import
+        # correctly (matches the reference's load order, kge/config.py:362-396)
+        new_options = Config.flatten(new_options)
+        if allow_deprecated:
+            new_options = _process_deprecated_options(new_options, self)
         # import model configurations
-        if "model" in new_options:
-            model = new_options.get("model")
-            if model:
-                self._import(model)
+        model = new_options.get("model")
+        if model:
+            self._import(model)
         if "import" in new_options:
             imports = new_options.get("import")
             if not isinstance(imports, list):
@@ -297,8 +301,6 @@ class Config:
             for module_name in imports:
                 self._import(module_name)
             del new_options["import"]
-        if allow_deprecated:
-            new_options = _process_deprecated_options(Config.flatten(new_options), self)
         self.set_all(new_options, create, overwrite)
 
     def load_config(self, config: "Config", create=False, overwrite=Overwrite.Yes):
@@ -543,41 +545,169 @@ class Configurable:
 
 
 def _process_deprecated_options(options: Dict[str, Any], config: Config = None):
-    """Rename/delete deprecated keys in a flat options dict.
+    """Translate deprecated keys/values in a flat options dict.
 
-    The reference maintains ~40 migration rules (kge/config.py:693); here we
-    keep the mechanism plus the renames relevant to configs in the wild.
+    Implements the reference's full migration rule set
+    (kge/config.py:693-904) so configs published for any LibKGE version load
+    unchanged.
     """
-    renames = {
-        # old LibKGE names -> current names (subset that appears in published configs)
-        "negative_sampling.num_negatives_s": "negative_sampling.num_samples.s",
-        "negative_sampling.num_negatives_p": "negative_sampling.num_samples.p",
-        "negative_sampling.num_negatives_o": "negative_sampling.num_samples.o",
-        "negative_sampling.filter_positives_s": "negative_sampling.filtering.s",
-        "negative_sampling.filter_positives_p": "negative_sampling.filtering.p",
-        "negative_sampling.filter_positives_o": "negative_sampling.filtering.o",
-        "train.optimizer_args": "train.optimizer.default.args",
-        "eval.metrics_per_relation_type": "entity_ranking.metrics_per.relation_type",
-        "eval.metrics_per_head_and_tail": "entity_ranking.metrics_per.head_and_tail",
-        "eval.metrics_per_argument_frequency": "entity_ranking.metrics_per.argument_frequency",
-        "eval.filter_with_test": "entity_ranking.filter_with_test",
-        "eval.filter_splits": "entity_ranking.filter_splits",
-        "eval.tie_handling": "entity_ranking.tie_handling.type",
-        "eval.hits_at_k_s": "entity_ranking.hits_at_k_s",
-        "eval.chunk_size": "entity_ranking.chunk_size",
-    }
-    result = {}
-    for key, value in options.items():
-        new_key = key
-        # exact renames
-        if key in renames:
-            new_key = renames[key]
-        # prefix rename: train.optimizer_args.X -> train.optimizer.default.args.X
-        elif key.startswith("train.optimizer_args."):
-            new_key = "train.optimizer.default.args." + key[len("train.optimizer_args."):]
-        elif key == "train.optimizer" and isinstance(value, str):
-            new_key = "train.optimizer.default.type"
-        if new_key != key and config is not None:
-            config.print(f"Renamed deprecated key {key} to {new_key}")
-        result[new_key] = value
-    return result
+    import re
+
+    def warn(msg):
+        if config is not None:
+            config.print("Warning: " + msg)
+
+    def rename_key(old_key, new_key):
+        if old_key in options:
+            warn(f"key {old_key} is deprecated; use key {new_key} instead")
+            if new_key in options:
+                raise ValueError(
+                    f"keys {old_key} and {new_key} must not both be set"
+                )
+            options[new_key] = options.pop(old_key)
+            return True
+        return False
+
+    def rename_value(key, old_value, new_value):
+        if key in options and options.get(key) == old_value:
+            warn(
+                f"value {key}={old_value} is deprecated; use value "
+                f"{new_value if new_value != '' else repr('')} instead"
+            )
+            options[key] = new_value
+            return True
+        return False
+
+    def delete_key_with_value(key, value):
+        if key in options:
+            if options[key] == value:
+                warn(f"key {key} is deprecated and has been removed; ignored")
+                del options[key]
+            else:
+                raise ValueError(f"key {key} is deprecated and has been removed.")
+
+    def delete_key_re_with_default_value(key_regex, value):
+        regex = re.compile(key_regex)
+        for old_key in list(options.keys()):
+            if regex.match(old_key):
+                if options[old_key] == value:
+                    warn(f"key {old_key} is deprecated and has been removed; ignored")
+                    del options[old_key]
+                else:
+                    raise ValueError(
+                        f"key {old_key} is deprecated and has been removed; "
+                        f"value {options[old_key]} is not supported any more."
+                    )
+
+    def rename_keys_re(key_regex, replacement):
+        renamed = set()
+        regex = re.compile(key_regex)
+        for old_key in list(options.keys()):
+            new_key = regex.sub(replacement, old_key)
+            if old_key != new_key:
+                rename_key(old_key, new_key)
+                renamed.add(new_key)
+        return renamed
+
+    def rename_value_re(key_regex, old_value, new_value):
+        renamed = set()
+        regex = re.compile(key_regex)
+        for key in options.keys():
+            if regex.match(key) and rename_value(key, old_value, new_value):
+                renamed.add(key)
+        return renamed
+
+    rename_key("train.auto_correct", "job.auto_correct")
+    rename_key("entity_ranking.tie_handling", "entity_ranking.tie_handling.type")
+    rename_value("search.type", "ax", "ax_search")
+    rename_value("search.type", "manual", "manual_search")
+    rename_value("search.type", "grid", "grid_search")
+    if isinstance(options.get("train.optimizer"), str):
+        rename_key("train.optimizer", "train.optimizer.default.type")
+    rename_keys_re(r"^train\.optimizer_args", "train.optimizer.default.args")
+    if "verbose" in options:
+        rename_key("verbose", "console.quiet")
+        options["console.quiet"] = not options["console.quiet"]
+    tucker_reg_key = "tucker3_relation_embedder.regularize_args.p"
+    if tucker_reg_key in options and isinstance(options[tucker_reg_key], int):
+        options[tucker_reg_key] = float(options[tucker_reg_key])
+    rename_keys_re(
+        r"^valid\.early_stopping\.min_threshold\.",
+        "valid.early_stopping.threshold.",
+    )
+    rename_key("negative_sampling.chunk_size", "train.subbatch_size")
+    delete_key_re_with_default_value(r".*normalize.with_grad", False)
+    rename_key("eval.filter_splits", "entity_ranking.filter_splits")
+    rename_key("eval.filter_with_test", "entity_ranking.filter_with_test")
+    rename_key("eval.tie_handling", "entity_ranking.tie_handling")
+    rename_key("eval.hits_at_k_s", "entity_ranking.hits_at_k_s")
+    rename_key("eval.chunk_size", "entity_ranking.chunk_size")
+    rename_keys_re(r"^eval\.metrics_per\.", "entity_ranking.metrics_per.")
+    delete_key_with_value("ax_search.fixed_parameters", [])
+    rename_value("train.lr_scheduler", "ConstantLRScheduler", "")
+    rename_key("eval.data", "eval.split")
+    rename_key("valid.filter_with_test", "entity_ranking.filter_with_test")
+    rename_value("negative_sampling.implementation", "spo", "triple")
+    rename_value("negative_sampling.implementation", "sp_po", "batch")
+    for slot in ("s", "p", "o"):
+        rename_key(
+            f"negative_sampling.num_samples_{slot}",
+            f"negative_sampling.num_samples.{slot}",
+        )
+        rename_key(
+            f"negative_sampling.filter_positives_{slot}",
+            f"negative_sampling.filtering.{slot}",
+        )
+        rename_key(
+            f"negative_sampling.filter_true_{slot}",
+            f"negative_sampling.filtering.{slot}",
+        )
+        rename_key(
+            f"negative_sampling.num_negatives_{slot}",
+            f"negative_sampling.num_samples.{slot}",
+        )
+    for split in ("train", "valid", "test"):
+        if f"dataset.{split}" in options:
+            rename_key(f"dataset.{split}", f"dataset.files.{split}.filename")
+            options[f"dataset.files.{split}.type"] = "triples"
+    for obj in ("entity", "relation"):
+        if f"dataset.{obj}_map" in options:
+            rename_key(
+                f"dataset.{obj}_map", f"dataset.files.{obj}_ids.filename"
+            )
+            options[f"dataset.files.{obj}_ids.type"] = "map"
+    rename_value("train.loss", "ce", "kl")
+    rename_keys_re(r"\.regularize_args\.weight$", ".regularize_weight")
+    for p in (1, 2, 3):
+        for key in rename_value_re(r".*\.regularize$", f"l{p}", "lp"):
+            new_key = re.sub(r"\.regularize$", ".regularize_args.p", key)
+            options[new_key] = p
+    if rename_key(
+        "negative_sampling.score_func_type", "negative_sampling.implementation"
+    ):
+        rename_value("negative_sampling.implementation", "spo", "triple")
+        rename_value("negative_sampling.implementation", "sp_po", "batch")
+    rename_value("train.type", "1toN", "KvsAll")
+    rename_value("train.type", "spo", "1vsAll")
+    rename_keys_re(r"^1toN\.", "KvsAll.")
+    rename_key("checkpoint.every", "train.checkpoint.every")
+    rename_key("checkpoint.keep", "train.checkpoint.keep")
+    rename_value("model", "inverse_relations_model", "reciprocal_relations_model")
+    rename_keys_re(r"^inverse_relations_model\.", "reciprocal_relations_model.")
+    rename_key(
+        "eval.metrics_per_relation_type",
+        "entity_ranking.metrics_per.relation_type",
+    )
+    rename_key(
+        "eval.metrics_per_head_and_tail",
+        "entity_ranking.metrics_per.head_and_tail",
+    )
+    rename_key(
+        "eval.metric_per_argument_frequency_perc",
+        "entity_ranking.metrics_per.argument_frequency",
+    )
+    rename_key(
+        "eval.metrics_per_argument_frequency",
+        "entity_ranking.metrics_per.argument_frequency",
+    )
+    return options

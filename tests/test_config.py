@@ -125,3 +125,45 @@ def test_clone_and_save(tmp_path):
     config2 = Config(load_default=False)
     config2.load(str(f), create=True)
     assert config2.get("train.max_epochs") == 3
+
+
+def test_full_deprecation_rule_set():
+    """Old LibKGE config keys from any published era must load unchanged
+    (reference kge/config.py:693-904)."""
+    from kge_tpu import Config
+
+    c = Config()
+    c.set("console.quiet", True)
+    c.load_options({
+        "model": "inverse_relations_model",
+        "inverse_relations_model": {"base_model": {"type": "complex"}},
+        "train": {
+            "type": "spo", "loss": "ce", "auto_correct": True,
+            "optimizer": "Adagrad", "optimizer_args": {"lr": 0.3},
+        },
+        "eval": {"data": "test", "chunk_size": 100,
+                 "metrics_per_relation_type": True},
+        "negative_sampling": {"num_negatives_o": 7, "filter_true_o": True,
+                              "score_func_type": "sp_po"},
+        "checkpoint": {"every": 10, "keep": 2},
+        "lookup_embedder": {"regularize": "l2",
+                            "regularize_args": {"weight": 0.1}},
+    })
+    assert c.get("model") == "reciprocal_relations_model"
+    assert c.get("reciprocal_relations_model.base_model.type") == "complex"
+    assert c.get("train.type") == "1vsAll"
+    assert c.get("train.loss") == "kl"
+    assert c.get("job.auto_correct") is True
+    assert c.get("train.optimizer.default.type") == "Adagrad"
+    assert c.get("train.optimizer.default.args.lr") == 0.3
+    assert c.get("eval.split") == "test"
+    assert c.get("entity_ranking.chunk_size") == 100
+    assert c.get("entity_ranking.metrics_per.relation_type") is True
+    assert c.get("negative_sampling.num_samples.o") == 7
+    assert c.get("negative_sampling.filtering.o") is True
+    assert c.get("negative_sampling.implementation") == "batch"
+    assert c.get("train.checkpoint.every") == 10
+    assert c.get("train.checkpoint.keep") == 2
+    assert c.get("lookup_embedder.regularize") == "lp"
+    assert float(c.get("lookup_embedder.regularize_args.p")) == 2.0
+    assert c.get("lookup_embedder.regularize_weight") == 0.1
