@@ -637,6 +637,14 @@ class TrainingJob(TrainingOrEvaluationJob):
             self._prepare()
             self._is_prepared = True
 
+        if self.config.get("train.profile") and self.config.folder:
+            profile_dir = os.path.join(self.config.folder, "profile")
+            with jax.profiler.trace(profile_dir):
+                return self._run_epoch_inner()
+        return self._run_epoch_inner()
+
+    def _run_epoch_inner(self) -> Dict[str, Any]:
+
         self.current_trace["epoch"] = dict(
             type=self.type_str, scope="epoch", epoch=self.epoch,
             split=self.train_split, batches=0, size=0,
@@ -896,8 +904,9 @@ class TrainingJob(TrainingOrEvaluationJob):
 
 
 def _best_index(values: List[float], metric_max: bool) -> int:
-    arr = np.asarray(values)
-    return int(np.argmax(arr) if metric_max else np.argmin(arr))
+    from kge_tpu.utils.metric import Metric
+
+    return Metric(metric_max).best_index(values)
 
 
 def _split_key(key):
