@@ -305,9 +305,13 @@ class EntityRankingJob(EvaluationJob):
 
         zeros = lambda: tuple(jnp.zeros(n, jnp.int32) for _ in range(4))
         acc0 = {r: zeros() for r in rankings}
-        acc, max_diff = jax.lax.fori_loop(
-            0, num_chunks, chunk_body, (acc0, jnp.array(-jnp.inf, jnp.float32)),
-        )
+        carry0 = (acc0, jnp.array(-jnp.inf, jnp.float32))
+        if num_chunks == 1:
+            # common case (chunk_size covers the vocabulary): inline the
+            # body — no loop machinery to compile or schedule around
+            acc, max_diff = chunk_body(0, carry0)
+        else:
+            acc, max_diff = jax.lax.fori_loop(0, num_chunks, chunk_body, carry0)
 
         # final counts: filtered = raw - subtracted positives
         results = {}
