@@ -74,9 +74,14 @@ def hist_per_relation_type(hists, s, p, o, s_ranks, o_ranks, job, **kwargs):
 
 
 def hist_per_frequency_percentile(hists, s, p, o, s_ranks, o_ranks, job, **kwargs):
+    """Subject buckets collect subject ranks, object buckets object ranks,
+    and relation buckets BOTH rank sides (reference
+    eval_entity_ranking.py:714-740)."""
     percentiles = job.dataset.index("frequency_percentiles")
     for arg, ranks, idx in (
-        ("subject", s_ranks, s), ("relation", s_ranks, p),
+        ("subject", s_ranks, s),
+        ("relation", s_ranks, p),
+        ("relation", o_ranks, p),
         ("object", o_ranks, o),
     ):
         for percentile, members in percentiles[arg].items():

@@ -332,6 +332,8 @@ def test_entity_ranking_parity(tmp_path, chunk_size):
     ref_config._import("complex")
     ref_config.set("dataset.name", "rank_synth")
     ref_config.set("eval.split", "valid")
+    for flag in ("head_and_tail", "relation_type", "argument_frequency"):
+        ref_config.set(f"entity_ranking.metrics_per.{flag}", True)
     ref_config.folder = str(tmp_path / "ref_exp")
     ref_config.init_folder()
     torch.manual_seed(7)
@@ -351,6 +353,8 @@ def test_entity_ranking_parity(tmp_path, chunk_size):
     config.load_options({"model": "complex"})
     config.set("dataset.name", "rank_synth")
     config.set("eval.split", "valid")
+    for flag in ("head_and_tail", "relation_type", "argument_frequency"):
+        config.set(f"entity_ranking.metrics_per.{flag}", True)
     config.set("entity_ranking.chunk_size", chunk_size)
     config.set("parallel.data", 1)
     config.set("parallel.model", 1)
