@@ -227,6 +227,11 @@ def main():
         from kge_tpu.utils.seed import apply_device_config
 
         apply_device_config(config)
+        # multi-host runtime must come up before anything touches the XLA
+        # backend (including seeding)
+        from kge_tpu.parallel import distributed
+
+        distributed.maybe_initialize(config)
         seed_from_config(config)
 
         if args.command == "start" and not args.run:

@@ -12,12 +12,30 @@ from __future__ import annotations
 import copy
 import datetime
 import os
+import sys
 import time
 import uuid
 from enum import Enum
 from typing import Any, Dict, List, Optional, Union
 
 import yaml
+
+
+def _is_primary_process() -> bool:
+    """True unless this is a non-0 process of a multi-host run. Touches jax
+    only when the distributed runtime was already initialized (config stays
+    importable without jax)."""
+    jax = sys.modules.get("jax")
+    if jax is None:
+        return True
+    try:
+        from kge_tpu.parallel import distributed
+
+        if not distributed._initialized:
+            return True
+        return jax.process_index() == 0
+    except Exception:
+        return True
 
 from kge_tpu import misc
 
@@ -341,8 +359,14 @@ class Config:
     # -- LOGGING AND TRACING --------------------------------------------------
 
     def log(self, msg: str, echo: bool = True, prefix: str = ""):
-        """Add a message to the default log file (and optionally console)."""
-        with open(self.logfile(), "a") as file:
+        """Add a message to the default log file (and optionally console).
+
+        Under multi-host execution only process 0 owns the experiment
+        folder; other processes echo to their console but skip the file.
+        """
+        write_file = _is_primary_process()
+        file = open(self.logfile(), "a") if write_file else None
+        try:
             for line in msg.splitlines():
                 if prefix:
                     line = prefix + line
@@ -350,7 +374,11 @@ class Config:
                     line = self.log_prefix + line
                 if echo:
                     self.print(line)
-                file.write(f"{datetime.datetime.now()} {line}\n")
+                if file is not None:
+                    file.write(f"{datetime.datetime.now()} {line}\n")
+        finally:
+            if file is not None:
+                file.close()
 
     def print(self, *args, **kwargs):
         """Print unless quiet."""
@@ -376,8 +404,9 @@ class Config:
             else:
                 for part in msg.splitlines():
                     self.print(echo_prefix + part)
-        with open(self.tracefile(), "a") as file:
-            file.write(line + "\n")
+        if _is_primary_process():
+            with open(self.tracefile(), "a") as file:
+                file.write(line + "\n")
         return kwargs
 
     # -- FOLDERS AND CHECKPOINTS ----------------------------------------------

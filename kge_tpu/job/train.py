@@ -533,11 +533,18 @@ class TrainingJob(TrainingOrEvaluationJob):
             triples = np.concatenate(
                 [data["triples_flat"], data["triples_flat"][-1:]], axis=0
             )
-            arr = jnp.asarray(triples)
-            if self.device_ctx.active:
-                arr = jax.device_put(
-                    arr, self.device_ctx.replicated()
+            from kge_tpu.parallel import distributed
+
+            if distributed.is_multiprocess():
+                from jax.sharding import PartitionSpec as P
+
+                arr = distributed.make_global(
+                    self.device_ctx.mesh, P(), triples
                 )
+            else:
+                arr = jnp.asarray(triples)
+                if self.device_ctx.active:
+                    arr = jax.device_put(arr, self.device_ctx.replicated())
             self._device_epoch_triples = arr
         prepare_time = time.time() - prepare_start
 

@@ -39,6 +39,9 @@ class DeviceCtx:
         """Build the (data, model) mesh. With `parallel.data: -1` (auto) and a
         `batch_divisor` (the batch size), the data axis shrinks to the largest
         device count that divides the batch, so toy runs work out of the box."""
+        from kge_tpu.parallel import distributed
+
+        distributed.maybe_initialize(config)
         if devices is None:
             devices = jax.devices()
         data = config.get("parallel.data")

@@ -18,13 +18,18 @@ from kge_tpu.config import Config
 
 
 def _to_numpy(tree):
-    import jax
+    from kge_tpu.parallel import distributed
 
-    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+    # under multi-host execution sharded leaves are gathered to every
+    # process before conversion
+    return distributed.fetch(tree)
 
 
 def save_checkpoint(checkpoint: Dict[str, Any], filename: str):
-    """Atomically write a checkpoint file."""
+    """Atomically write a checkpoint file (process 0 only when multi-host;
+    all processes participate in gathering sharded arrays)."""
+    from kge_tpu.parallel import distributed
+
     for key in ("model", "optimizer_state"):
         if key in checkpoint and checkpoint[key] is not None:
             if key == "model":
@@ -32,6 +37,8 @@ def save_checkpoint(checkpoint: Dict[str, Any], filename: str):
                 checkpoint[key] = (_to_numpy(params), meta)
             else:
                 checkpoint[key] = _to_numpy(checkpoint[key])
+    if not distributed.is_primary():
+        return
     tmpfile = filename + ".tmp"
     with open(tmpfile, "wb") as f:
         pickle.dump(checkpoint, f, protocol=pickle.HIGHEST_PROTOCOL)

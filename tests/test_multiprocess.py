@@ -1,0 +1,148 @@
+"""Multi-host (multi-process) training: 2 processes x 2 virtual CPU devices
+must reproduce the single-process 4-device run and write one checkpoint."""
+
+import os
+import pathlib
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+TESTS_DIR = pathlib.Path(__file__).resolve().parent
+REPO = TESTS_DIR.parent
+
+WORKER = r"""
+import os, sys
+pid = int(sys.argv[1]); n = int(sys.argv[2]); port = sys.argv[3]
+data_folder = sys.argv[4]; out_folder = sys.argv[5]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+from kge_tpu import Config, Dataset
+from kge_tpu.job import TrainingJob
+
+config = Config()
+config.set("console.quiet", True)
+config.load_options({{"model": "complex"}})
+config.set("dataset.name", "synth_mp")
+config.set("train.type", "negative_sampling")
+config.set("train.batch_size", 64)
+config.set("train.max_epochs", 2)
+config.set("valid.every", 0)
+config.set("parallel.data", 4)
+config.set("parallel.model", 1)
+config.set("parallel.distributed.coordinator_address", "localhost:" + port)
+config.set("parallel.distributed.num_processes", n)
+config.set("parallel.distributed.process_id", pid)
+config.set("complex.entity_embedder.dim", 16, create=True)
+config.set("complex.relation_embedder.dim", 16, create=True)
+config.set("random_seed.default", 11)
+config.folder = out_folder
+from kge_tpu.parallel import distributed
+assert distributed.maybe_initialize(config)
+if pid == 0:
+    config.init_folder()
+dataset = Dataset.create(config, folder=data_folder)
+job = TrainingJob.create(config, dataset)
+job._prepare()
+job._is_prepared = True
+losses = []
+for e in (1, 2):
+    job.epoch = e
+    losses.append(job.run_epoch()["avg_loss"])
+job._save(config.checkpoint_file(2))
+print("LOSSES", pid, losses, flush=True)
+
+from kge_tpu.job import EvaluationJob
+ev = EvaluationJob.create(config, dataset, job, job.model)
+ev.model_params = job.model_params
+ev.epoch = 2
+trace = ev._evaluate()
+print("MRR", pid, trace["mean_reciprocal_rank_filtered"], flush=True)
+"""
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.timeout(600)
+def test_two_process_training_matches_single_process(tmp_path):
+    from tests.util import make_synthetic_dataset
+
+    data_folder = make_synthetic_dataset(tmp_path / "synth_mp", seed=4)
+
+    # single-process 4-device baseline
+    from tests.util import get_test_config
+    from kge_tpu import Dataset
+    from kge_tpu.job import TrainingJob
+
+    config = get_test_config()
+    config.load_options({"model": "complex"})
+    config.set("dataset.name", "synth_mp")
+    config.set("train.type", "negative_sampling")
+    config.set("train.batch_size", 64)
+    config.set("valid.every", 0)
+    config.set("parallel.data", 4)
+    config.set("parallel.model", 1)
+    config.set("complex.entity_embedder.dim", 16, create=True)
+    config.set("complex.relation_embedder.dim", 16, create=True)
+    config.set("random_seed.default", 11)
+    dataset = Dataset.create(config, folder=str(data_folder))
+    job = TrainingJob.create(config, dataset)
+    job._prepare()
+    job._is_prepared = True
+    base_losses = []
+    for e in (1, 2):
+        job.epoch = e
+        base_losses.append(job.run_epoch()["avg_loss"])
+
+    # two worker processes sharing the global mesh
+    port = str(_free_port())
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER.format(repo=str(REPO)))
+    out_folder = tmp_path / "exp_mp"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(pid), "2", port,
+             str(data_folder), str(out_folder)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env={k: v for k, v in os.environ.items()
+                 if k not in ("JAX_PLATFORMS", "XLA_FLAGS")},
+        )
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=540)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-3000:]
+
+    losses, mrrs = {}, {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("LOSSES"):
+                _, pid, rest = line.split(" ", 2)
+                losses[int(pid)] = eval(rest)
+            elif line.startswith("MRR"):
+                _, pid, rest = line.split(" ", 2)
+                mrrs[int(pid)] = float(rest)
+    assert set(losses) == {0, 1}
+    # filtered eval also runs under the multi-host mesh, same result on both
+    assert set(mrrs) == {0, 1} and np.isclose(mrrs[0], mrrs[1])
+    assert 0.0 <= mrrs[0] <= 1.0
+    # both processes observe the same global losses
+    assert np.allclose(losses[0], losses[1], rtol=1e-6)
+    # and they match the single-process 4-device run
+    assert np.allclose(base_losses, losses[0], rtol=1e-4, atol=1e-5), (
+        base_losses, losses[0]
+    )
+    # only process 0 wrote the checkpoint
+    assert (out_folder / "checkpoint_00002.pt").exists()
