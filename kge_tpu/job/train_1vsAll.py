@@ -84,5 +84,5 @@ class TrainingJob1vsAll(TrainingJob):
 
         per_row = jax.vmap(
             lambda sc, lb: self.loss(sc[None, :], lb[None])
-        )(scores, labels)
+        )(scores.astype(jnp.float32), labels)
         return jnp.sum(per_row * mask)

@@ -187,7 +187,7 @@ class TrainingJobKvsAll(TrainingJob):
 
         per_row = jax.vmap(
             lambda sc, lb: self.loss(sc[None, :], lb[None, :])
-        )(scores, labels)
+        )(scores.astype(jnp.float32), labels.astype(jnp.float32))
         loss_value = jnp.sum(per_row * mask) / batch_size
         return loss_value, {"stats": ctx.stats}
 

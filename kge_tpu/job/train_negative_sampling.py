@@ -263,7 +263,9 @@ class TrainingJobNegativeSampling(TrainingJob):
 
     def _per_row_loss(self, scores, labels):
         """Row-wise loss so padded rows can be masked out; sums over columns
-        within a row (consistent with the reference's sum convention)."""
+        within a row (consistent with the reference's sum convention).
+        Scores are upcast to float32 (bf16 compute mode)."""
+        scores = scores.astype(jnp.float32)
         return jax.vmap(
             lambda sc, lb: self.loss(sc[None, :], lb[None])
         )(scores, labels)

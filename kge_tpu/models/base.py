@@ -267,6 +267,12 @@ class KgeEmbedder(KgeBase):
         if not config.exists(f"{embedder_type}.class_name"):
             config._import(embedder_type)
         self.embedder_type = embedder_type
+        # TPU dtype policy (parallel.{param,compute}_dtype): parameters are
+        # stored in param_dtype; embeddings are cast to compute_dtype before
+        # scoring so the matmuls run at the MXU's native bf16 rate when
+        # requested. Losses upcast to float32 (ops/losses.py).
+        self.param_dtype = jnp.dtype(config.get("parallel.param_dtype"))
+        self.compute_dtype = jnp.dtype(config.get("parallel.compute_dtype"))
 
     @staticmethod
     def create(
@@ -374,7 +380,7 @@ class LookupEmbedder(KgeEmbedder):
         table = init(rng, (self.vocab_size, self._dim))
         if self.normalize_p > 0:
             table = self._normalize(table)
-        return {"embeddings": table}
+        return {"embeddings": table.astype(self.param_dtype)}
 
     def _normalize(self, table: jax.Array) -> jax.Array:
         norm = jnp.linalg.norm(table, ord=self.normalize_p, axis=-1, keepdims=True)
@@ -389,10 +395,11 @@ class LookupEmbedder(KgeEmbedder):
         from kge_tpu.ops import pallas_ops
 
         emb = pallas_ops.embedding_gather(params["embeddings"], indexes)
-        return _dropout(emb, self.dropout, ctx)
+        return _dropout(emb.astype(self.compute_dtype), self.dropout, ctx)
 
     def embed_all(self, params: Params, ctx: Ctx) -> jax.Array:
-        return _dropout(params["embeddings"], self.dropout, ctx)
+        emb = params["embeddings"].astype(self.compute_dtype)
+        return _dropout(emb, self.dropout, ctx)
 
     def _abs_complex(self, parameters: jax.Array) -> jax.Array:
         re, im = jnp.split(parameters, 2, axis=1)

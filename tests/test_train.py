@@ -296,3 +296,31 @@ def test_run_epoch_group_matches_sequential():
     assert all(np.isfinite(l) for l in losses)
     assert losses[-1] < losses[0]
     assert all(t.get("scanned") for t in traces)
+
+
+def test_bfloat16_compute_mode():
+    """parallel.compute_dtype=bfloat16 trains stably (params stay float32;
+    losses are computed in float32)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from tests.util import get_test_config, get_test_dataset
+    from kge_tpu.job import TrainingJob
+
+    config = get_test_config()
+    config.load_options({"model": "complex"})
+    config.set("train.type", "negative_sampling")
+    config.set("parallel.compute_dtype", "bfloat16")
+    config.set("valid.every", 0)
+    dataset = get_test_dataset(config)
+    job = TrainingJob.create(config, dataset)
+    traces = job.run_epoch_group(3)
+    assert job.model_params["entity_embedder"]["embeddings"].dtype == jnp.float32
+    losses = [t["avg_loss"] for t in traces]
+    assert np.isfinite(losses).all() and losses[-1] < losses[0]
+
+    # scorer sees bfloat16 embeddings
+    from kge_tpu.models import EVAL_CTX
+    emb = job.model._entity_embedder.embed(
+        job.model_params["entity_embedder"], jnp.arange(3), EVAL_CTX
+    )
+    assert emb.dtype == jnp.bfloat16
