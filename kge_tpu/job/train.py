@@ -231,15 +231,9 @@ class TrainingJob(TrainingOrEvaluationJob):
         # calls do not auto-partition over a mesh)
         from kge_tpu.ops import pallas_ops
 
-        mode = self.config.check(
+        self._pallas_gather_mode = self.config.check(
             "train.pallas_gather", ["auto", "never", "always"]
         )
-        use_pallas = mode == "always" or (
-            mode == "auto"
-            and not self.device_ctx.active
-            and jax.default_backend() == "tpu"
-        )
-        pallas_ops.set_gather_mode("pallas" if use_pallas else "xla")
 
         # initialize parameters unless restored from a checkpoint
         if self.model_params is None:
@@ -267,6 +261,26 @@ class TrainingJob(TrainingOrEvaluationJob):
         self.post_valid_hooks: List[Callable[[Job], Any]] = getattr(
             self, "post_valid_hooks", []
         )
+
+        # pallas embedding-gather gradient: single-device TPU only (pallas
+        # calls do not auto-partition over a mesh), and — in auto mode —
+        # only for small tables: every gather's backward materializes a
+        # dense table-sized cotangent buffer per call site (unlike XLA
+        # scatters, custom-call accumulations don't fuse)
+        from kge_tpu.ops import pallas_ops
+
+        largest_leaf = max(
+            (l.size * l.dtype.itemsize
+             for l in jax.tree_util.tree_leaves(self.model_params)),
+            default=0,
+        )
+        use_pallas = self._pallas_gather_mode == "always" or (
+            self._pallas_gather_mode == "auto"
+            and not self.device_ctx.active
+            and jax.default_backend() == "tpu"
+            and largest_leaf <= 2 << 28  # ~0.5 GB
+        )
+        pallas_ops.set_gather_mode("pallas" if use_pallas else "xla")
 
         self._prepare_data()
         self._build_step_fn()

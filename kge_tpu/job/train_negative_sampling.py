@@ -236,6 +236,11 @@ class TrainingJobNegativeSampling(TrainingJob):
         if self._on_device:
             batch = dict(batch)
             for slot in self._active_slots:
+                if (
+                    f"neg_unique_{slot}" in batch
+                    or f"neg_samples_{slot}" in batch
+                ):
+                    continue  # pre-drawn (sparse-update step)
                 batch.update(
                     self._draw_negatives_on_device(
                         triples, slot, jax.random.fold_in(rng, 1000 + slot)
@@ -260,6 +265,198 @@ class TrainingJobNegativeSampling(TrainingJob):
             aux[f"avg_loss_{SLOT_STR[slot]}"] = loss_value
         aux["stats"] = ctx.stats
         return total, aux
+
+    # -- sparse embedding update -------------------------------------------------
+
+    def _sparse_update_eligible(self) -> bool:
+        """Row-sparse table updates are exact when: the optimizer rule has
+        zero-gradient fixed points (Adagrad/plain SGD, no weight decay), no
+        penalty term touches whole tables, tables are not re-normalized
+        after each step, and scoring never consumes the full vocabulary
+        (implementation != "all"). In "auto" mode the path activates when
+        the vocabulary is much larger than the rows a batch touches — that
+        is where dense updates dominate the step (e.g. Wikidata5M-scale)."""
+        mode = self.config.check(
+            "train.sparse_embedding_update", ["auto", "never", "always"]
+        )
+        if mode == "never" or self.is_forward_only:
+            return False
+        if self._implementation == "all":
+            return False
+        if self._subbatch_size > 0:
+            return False
+        # models with scorer parameters (ConvE, Transformer, TransH) may
+        # collect batch-norm stats or dense scorer grads; keep those on the
+        # standard step
+        if self.model_params.get("scorer"):
+            return False
+        params = self.model_params
+        if not (
+            isinstance(params, dict)
+            and "entity_embedder" in params
+            and "relation_embedder" in params
+            and "embeddings" in params["entity_embedder"]
+            and "embeddings" in params["relation_embedder"]
+        ):
+            return False
+        from kge_tpu.models.base import LookupEmbedder
+
+        for emb in (self.model._entity_embedder, self.model._relation_embedder):
+            if type(emb) is not LookupEmbedder:
+                return False
+            if emb.normalize_p > 0:
+                return False
+        # whole-table penalties (unweighted lp/n3) make gradients dense
+        dummy = {"triples": jnp.zeros((2, 3), jnp.int32),
+                 "mask": jnp.ones(2, jnp.float32)}
+        if self.model.penalty(params, batch=dummy, epoch=1):
+            return False
+        self._ent_leaf = self.optimizer.leaf_index(
+            params, "entity_embedder", "embeddings"
+        )
+        self._rel_leaf = self.optimizer.leaf_index(
+            params, "relation_embedder", "embeddings"
+        )
+        if self._ent_leaf is None or self._rel_leaf is None:
+            return False
+        if not (
+            self.optimizer.supports_sparse_rows(self._ent_leaf)
+            and self.optimizer.supports_sparse_rows(self._rel_leaf)
+        ):
+            return False
+        if mode == "always":
+            return True
+        # auto: worthwhile when the batch touches <= 1/8 of the entity table
+        rows_per_batch = 2 * self.batch_size
+        for slot in self._active_slots:
+            num = int(self._sampler.num_samples[slot])
+            rows_per_batch += (
+                num + 1 if self._sampler.shared else self.batch_size * num
+            )
+        return self.dataset.num_entities() >= 8 * rows_per_batch
+
+    def _build_step_fn(self):
+        super()._build_step_fn()
+        self._sparse_update = self._sparse_update_eligible()
+        if not self._sparse_update:
+            return
+        self.config.log(
+            "Using row-sparse embedding updates (exact for this optimizer)"
+        )
+        self._raw_step = self._make_sparse_step()
+        donate = (0, 1) if not self.is_forward_only else ()
+        self._jitted_step = jax.jit(self._raw_step, donate_argnums=donate)
+
+    def _make_sparse_step(self):
+        """Train step that never materializes table-sized gradients: the
+        loss is computed on gathered "mini-tables" whose rows are exactly
+        the ones the batch touches (positions are static, so the batch's
+        indexes localize to arange offsets), and the optimizer applies
+        exact row-sparse updates to the real tables."""
+        S_, P_, O_ = S, P, O
+
+        def localize(batch, triples, rng):
+            """Pre-draw negatives, collect global row ids, and rewrite the
+            batch to mini-table positions."""
+            n = triples.shape[0]
+            batch = dict(batch)
+            if self._on_device:
+                for slot in self._active_slots:
+                    batch.update(
+                        self._draw_negatives_on_device(
+                            triples, slot, jax.random.fold_in(rng, 1000 + slot)
+                        )
+                    )
+            ent_ids = [triples[:, S_], triples[:, O_]]
+            rel_ids = [triples[:, P_]]
+            local_triples = [
+                jnp.arange(n, dtype=triples.dtype),        # s -> [0, n)
+                jnp.arange(n, dtype=triples.dtype),        # p -> [0, n) (rel)
+                n + jnp.arange(n, dtype=triples.dtype),    # o -> [n, 2n)
+            ]
+            ent_off, rel_off = 2 * n, n
+            for slot in self._active_slots:
+                is_rel = slot == P_
+                ids, off = (rel_ids, rel_off) if is_rel else (ent_ids, ent_off)
+                ukey, skey = f"neg_unique_{slot}", f"neg_samples_{slot}"
+                if ukey in batch:
+                    arr = batch[ukey]
+                    ids.append(arr)
+                    batch[ukey] = off + jnp.arange(
+                        arr.shape[0], dtype=arr.dtype
+                    )
+                    off += arr.shape[0]
+                elif skey in batch:
+                    arr = batch[skey]
+                    ids.append(arr.reshape(-1))
+                    batch[skey] = off + jnp.arange(
+                        arr.size, dtype=arr.dtype
+                    ).reshape(arr.shape)
+                    off += arr.size
+                if is_rel:
+                    rel_off = off
+                else:
+                    ent_off = off
+            batch["triples"] = jnp.stack(local_triples, axis=1)
+            return (
+                batch,
+                jnp.concatenate([a.reshape(-1) for a in ent_ids]),
+                jnp.concatenate([a.reshape(-1) for a in rel_ids]),
+            )
+
+        def loss_fn(ent_rows, rel_rows, params_stub, batch, rng):
+            params = dict(params_stub)
+            params["entity_embedder"] = {
+                **params_stub["entity_embedder"], "embeddings": ent_rows
+            }
+            params["relation_embedder"] = {
+                **params_stub["relation_embedder"], "embeddings": rel_rows
+            }
+            loss_value, aux = self._loss_for_batch(params, batch, rng)
+            aux = dict(aux)
+            aux["avg_loss"] = loss_value
+            aux["penalties"] = {}
+            aux.pop("stats", None)
+            return loss_value, aux
+
+        def train_step(params, opt_state, batch, rng, lr):
+            triples = batch["triples"]
+            local_batch, ent_ids, rel_ids = localize(batch, triples, rng)
+            ent_rows = params["entity_embedder"]["embeddings"][ent_ids]
+            rel_rows = params["relation_embedder"]["embeddings"][rel_ids]
+            # zero-size stubs so no table-shaped cotangent exists anywhere
+            stub = dict(params)
+            stub["entity_embedder"] = {
+                **params["entity_embedder"],
+                "embeddings": jnp.zeros(
+                    (0,) + params["entity_embedder"]["embeddings"].shape[1:],
+                    params["entity_embedder"]["embeddings"].dtype,
+                ),
+            }
+            stub["relation_embedder"] = {
+                **params["relation_embedder"],
+                "embeddings": jnp.zeros(
+                    (0,) + params["relation_embedder"]["embeddings"].shape[1:],
+                    params["relation_embedder"]["embeddings"].dtype,
+                ),
+            }
+            (cost, aux), grads = jax.value_and_grad(
+                loss_fn, argnums=(0, 1, 2), has_aux=True
+            )(ent_rows, rel_rows, stub, local_batch, rng)
+            g_ent_rows, g_rel_rows, g_stub = grads
+            new_params, new_opt_state = (
+                self.optimizer.update_with_sparse_leaves(
+                    g_stub, opt_state, params, lr,
+                    sparse={
+                        self._ent_leaf: (ent_ids, g_ent_rows),
+                        self._rel_leaf: (rel_ids, g_rel_rows),
+                    },
+                )
+            )
+            new_params = self.model.postprocess_params(new_params)
+            return new_params, new_opt_state, cost, aux
+
+        return train_step
 
     def _per_row_loss(self, scores, labels):
         """Row-wise loss so padded rows can be masked out; sums over columns

@@ -333,6 +333,109 @@ class KgeOptimizer:
         )
 
 
+    # -- sparse row updates ------------------------------------------------------
+
+    def leaf_index(self, params: Params, *path_keys: str) -> Optional[int]:
+        """Flattened-leaf index of params[path_keys[0]][path_keys[1]]..., or
+        None when absent."""
+        paths = jax.tree_util.tree_flatten_with_path(params)[0]
+        want = list(path_keys)
+        for i, (path, _) in enumerate(paths):
+            keys = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
+            if keys == want:
+                return i
+        return None
+
+    def supports_sparse_rows(self, leaf_index: int) -> bool:
+        """True when the leaf's rule is exact under row-sparse application:
+        rows with zero gradient are fixed points (Adagrad without weight
+        decay; SGD without momentum/weight decay)."""
+        grp = self.groups[self._labels[leaf_index]]
+        args = grp.args
+        if args.get("weight_decay", 0.0):
+            return False
+        if grp.opt_type == "adagrad":
+            return True
+        if grp.opt_type == "sgd" and not args.get("momentum", 0.0):
+            return True
+        return False
+
+    def sparse_row_update(self, leaf_index: int, param_leaf, state_leaf,
+                          rows, row_grads, lr, step):
+        """Update only the given (possibly duplicate) rows of one leaf;
+        exact equivalent of the dense rule for eligible optimizers.
+
+        Duplicate rows are combined by a sorted segment sum; every position
+        of a segment writes the identical updated value, so the final
+        scatter-set is deterministic. Returns (new_param_leaf,
+        new_state_leaf).
+        """
+        grp = self.groups[self._labels[leaf_index]]
+        args = grp.args
+        order = jnp.argsort(rows)
+        rs = rows[order]
+        gs = row_grads[order]
+        first = jnp.concatenate(
+            [jnp.ones(1, bool), rs[1:] != rs[:-1]]
+        )
+        seg = jnp.cumsum(first) - 1
+        gsum = jax.ops.segment_sum(
+            gs, seg, num_segments=rs.shape[0], indices_are_sorted=True
+        )
+        g = gsum[seg]  # per-position combined gradient of its row
+
+        clr = lr / (1 + step * args.get("lr_decay", 0.0))
+        if grp.opt_type == "adagrad":
+            eps = args.get("eps", 1e-10)
+            srows = state_leaf["sum"][rs] + g * g
+            prows = param_leaf[rs] - clr * g / (jnp.sqrt(srows) + eps)
+            new_state = {
+                "sum": state_leaf["sum"].at[rs].set(
+                    srows, indices_are_sorted=True
+                )
+            }
+        elif grp.opt_type == "sgd":
+            prows = param_leaf[rs] - clr * g
+            new_state = state_leaf
+        else:  # pragma: no cover - guarded by supports_sparse_rows
+            raise NotImplementedError(grp.opt_type)
+        new_param = param_leaf.at[rs].set(prows, indices_are_sorted=True)
+        return new_param, new_state
+
+    def update_with_sparse_leaves(self, grads, opt_state, params, lr,
+                                  sparse: Dict[int, Tuple]):
+        """Like ``update`` but leaves in ``sparse`` (leaf index -> (rows,
+        row_grads)) receive a row-sparse update; their entry in ``grads``
+        is ignored (pass any placeholder)."""
+        grad_leaves = jax.tree_util.tree_leaves(grads)
+        param_leaves = jax.tree_util.tree_leaves(params)
+        step = opt_state["step"]
+        new_params = []
+        new_states = []
+        for i, (g_leaf, p_leaf, s_leaf, label) in enumerate(zip(
+            grad_leaves, param_leaves, opt_state["leaves"], self._labels
+        )):
+            grp = self.groups[label]
+            if i in sparse:
+                rows, row_grads = sparse[i]
+                p_new, s_new = self.sparse_row_update(
+                    i, p_leaf, s_leaf, rows, row_grads, lr[label], step
+                )
+                new_params.append(p_new)
+                new_states.append(s_new)
+                continue
+            update_fn = _RULES[grp.opt_type][1]
+            delta, new_s = update_fn(
+                g_leaf, s_leaf, p_leaf, lr[label], step, grp.args
+            )
+            new_params.append(p_leaf + delta)
+            new_states.append(new_s)
+        return (
+            jax.tree_util.tree_unflatten(self._treedef, new_params),
+            {"leaves": new_states, "step": step + 1},
+        )
+
+
 class KgeLRScheduler:
     """Learning-rate scheduling with torch.optim.lr_scheduler semantics.
 

@@ -324,3 +324,75 @@ def test_bfloat16_compute_mode():
         job.model_params["entity_embedder"], jnp.arange(3), EVAL_CTX
     )
     assert emb.dtype == jnp.bfloat16
+
+
+def test_sparse_embedding_update_matches_dense():
+    """Row-sparse table updates must reproduce the dense Adagrad trajectory
+    exactly (same seeds, same losses, same final tables)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from tests.util import get_test_config, get_test_dataset
+    from kge_tpu.job import TrainingJob
+
+    results = {}
+    for mode in ("never", "always"):
+        config = get_test_config()
+        config.load_options({"model": "complex"})
+        config.set("train.type", "negative_sampling")
+        config.set("train.sparse_embedding_update", mode)
+        config.set("negative_sampling.num_samples.s", 3)
+        config.set("negative_sampling.num_samples.o", 3)
+        config.set("valid.every", 0)
+        config.set("random_seed.default", 21)
+        dataset = get_test_dataset(config)
+        job = TrainingJob.create(config, dataset)
+        traces = job.run_epoch_group(3)
+        results[mode] = (
+            [t["avg_loss"] for t in traces],
+            np.asarray(job.model_params["entity_embedder"]["embeddings"]),
+            np.asarray(job.model_params["relation_embedder"]["embeddings"]),
+        )
+        if mode == "always":
+            assert job._sparse_update
+
+    for i in range(3):
+        assert np.allclose(
+            results["never"][0], results["always"][0], rtol=1e-5, atol=1e-6
+        ), (results["never"][0], results["always"][0])
+    assert np.allclose(results["never"][1], results["always"][1],
+                       rtol=1e-5, atol=1e-6)
+    assert np.allclose(results["never"][2], results["always"][2],
+                       rtol=1e-5, atol=1e-6)
+
+
+def test_sparse_update_with_shared_negatives():
+    """Sparse updates compose with shared negative sampling: identical
+    trajectory to the dense step under the same seeds."""
+    import numpy as np
+    from tests.util import get_test_config, get_test_dataset
+    from kge_tpu.job import TrainingJob
+
+    results = {}
+    for mode in ("never", "always"):
+        config = get_test_config()
+        config.load_options({"model": "complex"})
+        config.set("train.type", "negative_sampling")
+        config.set("train.sparse_embedding_update", mode)
+        config.set("negative_sampling.num_samples.s", 4)
+        config.set("negative_sampling.shared", True)
+        config.set("negative_sampling.shared_type", "default")
+        config.set("valid.every", 0)
+        config.set("random_seed.default", 5)
+        dataset = get_test_dataset(config)
+        job = TrainingJob.create(config, dataset)
+        traces = job.run_epoch_group(3)
+        if mode == "always":
+            assert job._sparse_update
+        results[mode] = (
+            [t["avg_loss"] for t in traces],
+            np.asarray(job.model_params["entity_embedder"]["embeddings"]),
+        )
+    assert np.allclose(results["never"][0], results["always"][0],
+                       rtol=1e-5, atol=1e-6)
+    assert np.allclose(results["never"][1], results["always"][1],
+                       rtol=1e-5, atol=1e-6)
