@@ -384,22 +384,20 @@ class KgeOptimizer:
         )
         g = gsum[seg]  # per-position combined gradient of its row
 
+        from kge_tpu.ops.pallas_ops import rows_set
+
         clr = lr / (1 + step * args.get("lr_decay", 0.0))
         if grp.opt_type == "adagrad":
             eps = args.get("eps", 1e-10)
             srows = state_leaf["sum"][rs] + g * g
             prows = param_leaf[rs] - clr * g / (jnp.sqrt(srows) + eps)
-            new_state = {
-                "sum": state_leaf["sum"].at[rs].set(
-                    srows, indices_are_sorted=True
-                )
-            }
+            new_state = {"sum": rows_set(state_leaf["sum"], rs, srows)}
         elif grp.opt_type == "sgd":
             prows = param_leaf[rs] - clr * g
             new_state = state_leaf
         else:  # pragma: no cover - guarded by supports_sparse_rows
             raise NotImplementedError(grp.opt_type)
-        new_param = param_leaf.at[rs].set(prows, indices_are_sorted=True)
+        new_param = rows_set(param_leaf, rs, prows)
         return new_param, new_state
 
     def update_with_sparse_leaves(self, grads, opt_state, params, lr,

@@ -188,6 +188,89 @@ def _xla_scatter_add(ids, upd, num_rows):
     return jnp.zeros((num_rows, upd.shape[1]), upd.dtype).at[ids].add(upd)
 
 
+# -- in-place row writes --------------------------------------------------------
+
+_NSEM = 16  # DMA semaphore ring
+
+
+def _rows_set_kernel(ids_ref, table_in, upd_hbm, table_out, sems):
+    """Write upd[i] into table_out[ids[i]] via per-row DMAs, table aliased
+    in place. A semaphore ring keeps _NSEM copies in flight; duplicate ids
+    carrying identical payloads may race benignly."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = ids_ref.shape[0]
+
+    def body(i, _):
+        row = ids_ref[i]
+
+        @pl.when(i >= _NSEM)
+        def _():
+            pltpu.make_async_copy(
+                upd_hbm.at[pl.ds(0, 1), :],
+                table_out.at[pl.ds(0, 1), :],
+                sems.at[i % _NSEM],
+            ).wait()
+
+        pltpu.make_async_copy(
+            upd_hbm.at[pl.ds(i, 1), :],
+            table_out.at[pl.ds(row, 1), :],
+            sems.at[i % _NSEM],
+        ).start()
+        return 0
+
+    jax.lax.fori_loop(0, n, body, 0)
+
+    def tail(k, _):
+        pltpu.make_async_copy(
+            upd_hbm.at[pl.ds(0, 1), :],
+            table_out.at[pl.ds(0, 1), :],
+            sems.at[k % _NSEM],
+        ).wait()
+        return 0
+
+    jax.lax.fori_loop(jnp.maximum(0, n - _NSEM), n, tail, 0)
+
+
+def rows_set(
+    table: jax.Array, ids: jax.Array, rows: jax.Array,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """``table.at[ids].set(rows)`` that updates the table IN PLACE via
+    per-row DMAs (input/output aliased) instead of XLA's copy-the-operand
+    scatter — ~20x faster for small row counts against multi-GB tables.
+    Duplicate ids must carry identical rows. Falls back to the XLA scatter
+    off-TPU."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = _backend() != "tpu"
+    if interpret or table.shape[-1] % 128 != 0:
+        # the DMA ring is TPU-specific and needs lane-aligned rows; keep
+        # CPU/test/unaligned semantics identical via the XLA scatter
+        return table.at[ids].set(rows, unique_indices=False)
+
+    ids = ids.astype(jnp.int32)
+    return pl.pallas_call(
+        _rows_set_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(1,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            scratch_shapes=[pltpu.SemaphoreType.DMA((_NSEM,))],
+        ),
+        out_shape=jax.ShapeDtypeStruct(table.shape, table.dtype),
+        input_output_aliases={1: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(ids, table, rows)
+
+
 @jax.custom_vjp
 def _pallas_gather(table, ids):
     return table[ids]

@@ -74,3 +74,14 @@ def test_training_with_pallas_gather():
     assert pallas_ops.gather_mode() == "pallas"
     losses = [t["avg_loss"] for t in traces]
     assert np.isfinite(losses).all() and losses[-1] < losses[0]
+
+
+def test_rows_set_fallback_matches_scatter():
+    rng = np.random.default_rng(3)
+    table = jnp.asarray(rng.normal(size=(50, 16)).astype(np.float32))
+    ids = jnp.asarray([4, 9, 9, 30])
+    rows = jnp.asarray(rng.normal(size=(4, 16)).astype(np.float32))
+    rows = rows.at[2].set(rows[1])  # duplicates must carry identical rows
+    got = pallas_ops.rows_set(table, ids, rows, interpret=True)
+    want = table.at[ids].set(rows)
+    assert np.allclose(got, want)
