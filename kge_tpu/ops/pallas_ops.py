@@ -298,3 +298,175 @@ def embedding_gather(table: jax.Array, ids: jax.Array) -> jax.Array:
     if _gather_mode == "pallas":
         return _pallas_gather(table, ids)
     return table[ids]
+
+
+# -- fused row-gradient optimizer update ----------------------------------------
+
+FUSED_ROW_TILE = 256  # output rows per grid step (smaller than ROW_TILE so
+                      # param + state in/out tiles + scratch fit VMEM)
+
+
+def _fused_update_kernel(starts_ref, ids_ref, scal_ref, upd_hbm, param_ref,
+                         *rest, max_chunks: int, upd_tile: int, nstate: int,
+                         rule):
+    """One table tile [FUSED_ROW_TILE, D]: accumulate the tile's dense
+    gradient from its sorted-update range (one-hot MXU matmuls, zero for
+    untouched rows), then apply the elementwise optimizer ``rule`` to the
+    param/state tiles in place. Exact dense-step semantics."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    state_refs = rest[:nstate]
+    out_param = rest[nstate]
+    out_states = rest[nstate + 1 : 2 * nstate + 1]
+    g_scratch, upd_scratch, sem = rest[2 * nstate + 1 :]
+
+    t = pl.program_id(0)
+    base_row = t * FUSED_ROW_TILE
+    start = (starts_ref[t] // upd_tile) * upd_tile
+    count = starts_ref[t + 1] - start
+
+    g_scratch[:] = jnp.zeros_like(g_scratch)
+
+    def chunk(ci, _):
+        @pl.when(ci * upd_tile < count)
+        def _():
+            off = pl.multiple_of(start + ci * upd_tile, upd_tile)
+            dma = pltpu.make_async_copy(
+                upd_hbm.at[pl.ds(off, upd_tile), :], upd_scratch, sem
+            )
+            dma.start()
+            ids_c = ids_ref[0:1, pl.ds(off, upd_tile)]
+            rows = base_row + jax.lax.broadcasted_iota(
+                jnp.int32, (FUSED_ROW_TILE, upd_tile), 0
+            )
+            one_hot = (ids_c == rows).astype(jnp.float32)
+            dma.wait()
+            # 3-way bf16 split of the updates (one-hot exact in bf16):
+            # ~f32 precision from 3 MXU passes (see _scatter_kernel)
+            x = upd_scratch[:].astype(jnp.float32)
+            hi = x.astype(jnp.bfloat16)
+            mid_f = x - hi.astype(jnp.float32)
+            mid = mid_f.astype(jnp.bfloat16)
+            lo = (mid_f - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+            oh16 = one_hot.astype(jnp.bfloat16)
+            acc = jax.lax.dot(oh16, hi, preferred_element_type=jnp.float32)
+            acc += jax.lax.dot(oh16, mid, preferred_element_type=jnp.float32)
+            acc += jax.lax.dot(oh16, lo, preferred_element_type=jnp.float32)
+            g_scratch[:] += acc
+        return 0
+
+    jax.lax.fori_loop(0, max_chunks, chunk, 0, unroll=False)
+
+    lr = scal_ref[0, 0]
+    step = scal_ref[0, 1]
+    g = g_scratch[:].astype(param_ref.dtype)
+    new_param, new_states = rule(
+        g, param_ref[:], tuple(s[:] for s in state_refs), lr, step
+    )
+    out_param[:] = new_param
+    for oref, ns in zip(out_states, new_states):
+        oref[:] = ns
+
+
+def fused_sorted_update(
+    ids: jax.Array, upd: jax.Array, param: jax.Array, states, lr, step,
+    rule, interpret: Optional[bool] = None,
+):
+    """One-pass dense-semantics optimizer step from row gradients.
+
+    Semantically identical to::
+
+        g = jnp.zeros_like(param).at[ids].add(upd)
+        new_param, new_states = rule(g, param, states, lr, step)
+
+    but never materializes the dense gradient: per table tile, the tile's
+    gradient is built from the sorted updates via one-hot MXU matmuls
+    (SpMM-style, like ``sorted_scatter_add``) and the elementwise ``rule``
+    (any torch-parity optimizer) is applied to the param/state tiles in one
+    VMEM round trip — replacing [dense-grad write + read] and a separate
+    whole-table optimizer pass. Exact for any elementwise rule because
+    untouched tiles receive a zero gradient tile, exactly as in the dense
+    step. Falls back to the literal dense formulation off-TPU or for
+    lane-unaligned rows.
+
+    ``rule(g, param_tile, state_tiles, lr, step) -> (new_param_tile,
+    new_state_tiles)`` must be elementwise (shape-preserving) jnp code.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = _backend() != "tpu"
+    states = tuple(states)
+    n, d = upd.shape
+    num_rows = param.shape[0]
+    if d % 128 != 0:
+        # lane-unaligned rows: literal dense formulation (same semantics)
+        g = jnp.zeros_like(param).at[ids].add(upd)
+        return rule(g, param, states, lr, step)
+
+    dtype = param.dtype
+    num_tiles = -(-num_rows // FUSED_ROW_TILE)
+    upd_tile = UPD_TILE
+    n_pad = _pad_to(n, upd_tile) + upd_tile
+
+    order = jnp.argsort(ids)
+    ids_s = ids[order].astype(jnp.int32)
+    upd_s = upd[order].astype(dtype)
+    upd_s = jnp.pad(upd_s, ((0, n_pad - n), (0, 0)))
+    ids_s = jnp.pad(
+        ids_s, (0, n_pad - n), constant_values=num_tiles * FUSED_ROW_TILE + 1
+    )
+
+    tile_bounds = (jnp.arange(num_tiles + 1) * FUSED_ROW_TILE).astype(jnp.int32)
+    starts = jnp.searchsorted(ids_s[:n], tile_bounds).astype(jnp.int32)
+    scal = jnp.stack(
+        [jnp.asarray(lr, jnp.float32),
+         jnp.asarray(step, jnp.float32)]
+    ).reshape(1, 2)
+
+    max_chunks = -(-n // upd_tile) + 1
+    nstate = len(states)
+    kernel = functools.partial(
+        _fused_update_kernel, max_chunks=max_chunks, upd_tile=upd_tile,
+        nstate=nstate, rule=rule,
+    )
+    tile_spec = pl.BlockSpec(
+        (FUSED_ROW_TILE, d), lambda t, starts: (t, 0),
+        memory_space=pltpu.VMEM,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, n_pad), lambda t, starts: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 2), lambda t, starts: (0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            tile_spec,
+        ] + [tile_spec] * nstate,
+        out_specs=[tile_spec] * (1 + nstate),
+        scratch_shapes=[
+            pltpu.VMEM((FUSED_ROW_TILE, d), jnp.float32),
+            pltpu.VMEM((upd_tile, d), dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    # operand order (aliasing indexes include the scalar prefetch):
+    # 0 starts, 1 ids, 2 scalars, 3 upd, 4 param, 5.. states
+    aliases = {4: 0}
+    for i in range(nstate):
+        aliases[5 + i] = 1 + i
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct(param.shape, dtype)]
+        + [jax.ShapeDtypeStruct(s.shape, s.dtype) for s in states],
+        input_output_aliases=aliases,
+        interpret=interpret,
+    )(starts, ids_s.reshape(1, -1), scal, upd_s, param, *states)
+    return out[0], tuple(out[1:])
