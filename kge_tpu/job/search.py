@@ -349,6 +349,7 @@ class AutoSearchJob(SearchJob):
                 "results": self.results,
                 "job_id": self.job_id,
                 "config": self.config,
+                "subclass_state": self._subclass_state(),
             },
             filename,
         )
@@ -359,6 +360,19 @@ class AutoSearchJob(SearchJob):
         self.parameters = checkpoint["parameters"]
         self.results = checkpoint["results"]
         self.resumed_from_job_id = checkpoint.get("job_id")
+        self._load_subclass_state(checkpoint.get("subclass_state", {}))
+
+    def _subclass_state(self) -> Dict[str, Any]:
+        """Extra state a concrete search stores in its checkpoint."""
+        return {}
+
+    def _load_subclass_state(self, state: Dict[str, Any]):
+        pass
+
+    def can_propose_ahead(self, trial_no: int) -> bool:
+        """True when trial ``trial_no`` can be proposed before earlier
+        results arrive (non-adaptive phases run trials in parallel)."""
+        return False
 
     def register_trial(self, parameters=None) -> Tuple[Optional[Dict], int]:
         """Propose (or replay) the next trial; subclasses implement."""
@@ -366,6 +380,14 @@ class AutoSearchJob(SearchJob):
 
     def register_trial_result(self, trial_id, parameters, trace_entry):
         raise NotImplementedError
+
+    def _collect_ready_results(self):
+        for trial_no_r, best_entry, _ in self.ready_task_results:
+            self.results[trial_no_r] = best_entry
+            self.register_trial_result(
+                trial_no_r, self.parameters[trial_no_r], best_entry
+            )
+        self.ready_task_results = []
 
     def get_best_parameters(self):
         metric_name = self.config.get("valid.metric")
@@ -411,21 +433,21 @@ class AutoSearchJob(SearchJob):
 
             task = (trial_no, trial_config, folder, parameters)
             self.submit_task(lambda t=task: self._run_train_job(t))
-            self.wait_task()
-            # collect results
-            for trial_no_r, best_entry, _ in self.ready_task_results:
-                self.results[trial_no_r] = best_entry
-                self.register_trial_result(
-                    trial_no_r, self.parameters[trial_no_r], best_entry
-                )
-            self.ready_task_results = []
+            # adaptive proposals need earlier results; non-adaptive phases
+            # (e.g. the Sobol prefix) keep the worker pool saturated
+            next_no = trial_no + 1
+            if not (
+                next_no < self.num_trials
+                and self.can_propose_ahead(next_no)
+                and len(self._running) < self.num_workers
+            ):
+                self.wait_task()
+            self._collect_ready_results()
             self.save(self.config.checkpoint_file(1))
 
         while self._running:
             self.wait_task()
-            for trial_no_r, best_entry, _ in self.ready_task_results:
-                self.results[trial_no_r] = best_entry
-            self.ready_task_results = []
+            self._collect_ready_results()
 
         best_params, best_value = self.get_best_parameters()
         self.config.log(
@@ -442,11 +464,16 @@ class AutoSearchJob(SearchJob):
 
 
 class AxSearchJob(AutoSearchJob):
-    """Quasi-random (Sobol) + random search over an Ax-style search space.
+    """Quasi-random (Sobol) + Bayesian (GP with expected improvement) search
+    over an Ax-style search space.
 
     Covers the reference AxSearchJob surface (search_ax.py): a fixed-seed
     Sobol phase whose sequence replays deterministically on resume, followed
-    by further trials (uniform random here; the reference uses GP+EI).
+    by model-based trials. The GP is a plain numpy implementation (RBF
+    kernel, lengthscale/noise chosen by marginal likelihood over a small
+    grid, EI maximized over a Sobol candidate pool) — no Ax/BoTorch
+    dependency. Proposals are a deterministic function of past results, so
+    resume replays the whole sequence identically.
     """
 
     def __init__(self, config, dataset, parent_job=None):
@@ -458,6 +485,7 @@ class AxSearchJob(AutoSearchJob):
             num_sobol = min(self._num_trials, 2 * self.space.num_tunable)
         self.num_sobol_trials = num_sobol
         self.sobol_seed = self.config.get("ax_search.sobol_seed")
+        self._unit_points: Dict[int, List[float]] = {}
         if self.__class__ == AxSearchJob:
             for f in Job.job_created_hooks:
                 f(self)
@@ -466,11 +494,25 @@ class AxSearchJob(AutoSearchJob):
     def num_trials(self):
         return self._num_trials
 
-    def _sobol_points(self, n: int) -> np.ndarray:
+    def can_propose_ahead(self, trial_no: int) -> bool:
+        # the Sobol prefix is fixed ahead of time; GP proposals are adaptive
+        return trial_no < self.num_sobol_trials
+
+    def _subclass_state(self):
+        return {"unit_points": self._unit_points}
+
+    def _load_subclass_state(self, state):
+        self._unit_points = {
+            int(k): v for k, v in state.get("unit_points", {}).items()
+        }
+
+    def _sobol_points(self, n: int, seed_offset: int = 0) -> np.ndarray:
         from scipy.stats import qmc
 
         d = max(self.space.num_tunable, 1)
-        sampler = qmc.Sobol(d=d, scramble=True, seed=self.sobol_seed)
+        sampler = qmc.Sobol(
+            d=d, scramble=True, seed=self.sobol_seed + seed_offset
+        )
         return sampler.random(n)
 
     def register_trial(self, parameters=None):
@@ -481,9 +523,95 @@ class AxSearchJob(AutoSearchJob):
             points = self._sobol_points(self.num_sobol_trials)
             u = points[trial_no]
         else:
-            rng = np.random.default_rng(self.sobol_seed + 7919 * trial_no)
-            u = rng.random(max(self.space.num_tunable, 1))
+            u = self._model_based_point(trial_no)
+        self._unit_points[trial_no] = [float(x) for x in u]
         return self.space.from_unit(u), trial_no
 
     def register_trial_result(self, trial_id, parameters, trace_entry):
-        pass  # no model to update (random/quasi-random proposals)
+        pass  # the GP is re-fit from (unit_points, results) at proposal time
+
+    # -- GP + expected improvement ---------------------------------------------
+
+    def _observations(self):
+        metric_name = self.config.get("valid.metric")
+        X, y = [], []
+        for i, result in enumerate(self.results):
+            if result is None or i not in self._unit_points:
+                continue
+            value = result.get(metric_name)
+            if value is None or not np.isfinite(value):
+                continue
+            X.append(self._unit_points[i])
+            y.append(float(value))
+        return np.asarray(X, dtype=float), np.asarray(y, dtype=float)
+
+    def _model_based_point(self, trial_no: int) -> np.ndarray:
+        d = max(self.space.num_tunable, 1)
+        X, y = self._observations()
+        rng = np.random.default_rng(self.sobol_seed + 7919 * trial_no)
+        if len(y) < 3 or np.std(y) < 1e-12:
+            return rng.random(d)
+        if not self.config.get("valid.metric_max"):
+            y = -y  # EI is written for maximization
+        y_mean, y_std = float(np.mean(y)), float(np.std(y))
+        y_n = (y - y_mean) / y_std
+
+        # kernel hyperparameters by log marginal likelihood over a grid
+        best = None
+        for ls in (0.1, 0.2, 0.4, 0.8, 1.6):
+            for noise in (1e-4, 1e-2):
+                K = _rbf(X, X, ls) + noise * np.eye(len(y_n))
+                try:
+                    L = np.linalg.cholesky(K)
+                except np.linalg.LinAlgError:
+                    continue
+                alpha = np.linalg.solve(L.T, np.linalg.solve(L, y_n))
+                ll = (
+                    -0.5 * float(y_n @ alpha)
+                    - float(np.sum(np.log(np.diag(L))))
+                    - 0.5 * len(y_n) * np.log(2 * np.pi)
+                )
+                if best is None or ll > best[0]:
+                    best = (ll, ls, noise, L, alpha)
+        if best is None:
+            return rng.random(d)
+        _, ls, noise, L, alpha = best
+
+        # candidate pool: fresh scrambled Sobol points + jitter around the
+        # incumbent (local exploitation)
+        cands = self._sobol_points(512, seed_offset=1 + trial_no)
+        incumbent = X[int(np.argmax(y_n))]
+        local = np.clip(
+            incumbent[None, :] + 0.05 * rng.standard_normal((64, d)), 0.0, 1.0
+        )
+        cands = np.concatenate([cands, local], axis=0)
+
+        Ks = _rbf(cands, X, ls)
+        mu = Ks @ alpha
+        v = np.linalg.solve(L, Ks.T)
+        var = np.maximum(1.0 + noise - np.sum(v * v, axis=0), 1e-12)
+        sigma = np.sqrt(var)
+        y_best = float(np.max(y_n))
+        xi = 0.01
+        z = (mu - y_best - xi) / sigma
+        ei = (mu - y_best - xi) * _norm_cdf(z) + sigma * _norm_pdf(z)
+        return cands[int(np.argmax(ei))]
+
+
+def _rbf(a: np.ndarray, b: np.ndarray, lengthscale: float) -> np.ndarray:
+    d2 = (
+        np.sum(a * a, axis=1)[:, None]
+        + np.sum(b * b, axis=1)[None, :]
+        - 2.0 * (a @ b.T)
+    )
+    return np.exp(-0.5 * np.maximum(d2, 0.0) / (lengthscale ** 2))
+
+
+def _norm_cdf(x: np.ndarray) -> np.ndarray:
+    from scipy.special import erf
+
+    return 0.5 * (1.0 + erf(x / np.sqrt(2.0)))
+
+
+def _norm_pdf(x: np.ndarray) -> np.ndarray:
+    return np.exp(-0.5 * x * x) / np.sqrt(2.0 * np.pi)

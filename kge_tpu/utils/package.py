@@ -13,13 +13,31 @@ from kge_tpu.utils.io import load_checkpoint, save_checkpoint
 
 
 def package_model(input_checkpoint: str, output: Optional[str] = None) -> str:
-    """Convert a train checkpoint into a packaged model file."""
+    """Convert a train checkpoint into a packaged model file.
+
+    ``input_checkpoint`` may also be an experiment folder, in which case the
+    best (or last) checkpoint is packaged (reference requires a file,
+    kge/util/package.py:23-25; the folder form is a convenience).
+    """
+    if os.path.isdir(input_checkpoint):
+        from kge_tpu.utils.io import get_checkpoint_file
+
+        config = Config(folder=input_checkpoint)
+        input_checkpoint = get_checkpoint_file(config, "best")
+        if input_checkpoint is None:
+            raise ValueError(f"no checkpoint found in folder {config.folder}")
     checkpoint = load_checkpoint(input_checkpoint)
     if checkpoint["type"] != "train":
         raise ValueError("can only package train checkpoints")
     if output is None:
-        base, _ = os.path.splitext(input_checkpoint)
-        output = base + "_package.pt"
+        # reference naming: checkpoint_best.pt -> model_best.pt
+        # (kge/util/package.py:40-46)
+        folder, filename = os.path.split(input_checkpoint)
+        if "checkpoint" in filename:
+            filename = filename.replace("checkpoint", "model")
+        else:
+            filename = os.path.splitext(filename)[0] + "_package.pt"
+        output = os.path.join(folder, filename)
 
     config = Config.create_from(checkpoint)
     dataset = Dataset.create_from(checkpoint, config, preload_data=False)

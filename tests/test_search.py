@@ -142,6 +142,34 @@ def test_ax_search_runs_and_resumes():
     assert job2.parameters[:2] == job.parameters[:2]
 
 
+def test_ax_search_gp_ei_proposal():
+    """After the Sobol phase the GP+EI proposer should concentrate near the
+    optimum of a smooth objective (instead of sampling uniformly)."""
+    config = make_search_config(
+        "ax_search",
+        **{"ax_search.num_trials": 20, "ax_search.num_sobol_trials": 4,
+           "ax_search.parameters": SPACE},
+    )
+    dataset = get_test_dataset(config)
+    job = Job.create(config, dataset)
+    rng = np.random.default_rng(0)
+    opt = np.array([0.7, 0.3])
+    for i in range(12):
+        u = rng.random(2)
+        job._unit_points[i] = [float(x) for x in u]
+        job.parameters.append(job.space.from_unit(u))
+        value = 1.0 - float(np.sum((u - opt) ** 2))
+        job.results.append({"mean_reciprocal_rank_filtered": value})
+    u_next = job._model_based_point(12)
+    assert u_next.shape == (2,)
+    assert np.all((u_next >= 0.0) & (u_next <= 1.0))
+    # uniform random averages ~0.25 squared distance on this objective
+    assert float(np.sum((u_next - opt) ** 2)) < 0.15
+    # deterministic given identical observations (resume replay)
+    u_again = job._model_based_point(12)
+    assert np.allclose(u_next, u_again)
+
+
 def test_kcore_decomposition(tmp_path):
     """Core numbers and subset datasets of a synthetic graph."""
     from kge_tpu.utils.subgraph import KCoreManager, core_numbers
