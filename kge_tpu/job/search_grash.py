@@ -38,6 +38,7 @@ class GraSHSearchJob(SearchJob):
         self.keep_initialization = self.config.get(
             "grash_search.keep_initialization"
         )
+        self.keep_pretrained = self.config.get("grash_search.keep_pretrained")
         self.min_negatives_percentage = self.config.get(
             "grash_search.min_negatives_percentage"
         )
@@ -52,9 +53,37 @@ class GraSHSearchJob(SearchJob):
             )
         self.num_rounds = num_rounds
 
+        #: results of completed trials, keyed "round-trial" (the reference's
+        #: trial_dict, search_grash.py:78-82,516-525) — lets the search resume
+        self.trial_cache: Dict[str, float] = {}
+        self._stored_trials: Optional[List[Dict[str, Any]]] = None
+
         if self.__class__ == GraSHSearchJob:
             for f in Job.job_created_hooks:
                 f(self)
+
+    # -- search-level checkpoint/resume ----------------------------------------
+
+    def _save_search_state(self, trials):
+        from kge_tpu.utils.io import save_checkpoint
+
+        save_checkpoint(
+            {
+                "type": "search",
+                "parameters": trials,
+                "results": dict(self.trial_cache),
+                "job_id": self.job_id,
+                "config": self.config,
+            },
+            self.config.checkpoint_file(1),
+        )
+
+    def _load(self, checkpoint):
+        if checkpoint["type"] != "search":
+            raise ValueError("can only resume search checkpoints")
+        self._stored_trials = checkpoint.get("parameters") or None
+        self.trial_cache = dict(checkpoint.get("results") or {})
+        self.resumed_from_job_id = checkpoint.get("job_id")
 
     # -- budget math (reference search_grash.py:364-416) -----------------------
 
@@ -101,13 +130,20 @@ class GraSHSearchJob(SearchJob):
         metric_max = self.config.get("valid.metric_max")
         self.kcore = KCoreManager(self.config, self.dataset)
 
-        # generate the initial trial population
-        trials = [
-            self.space.from_unit(rng.random(max(self.space.num_tunable, 1)))
-            for _ in range(self.num_trials_conf)
-        ]
+        # generate the initial trial population (or reuse the checkpointed
+        # one when resuming, so completed-trial cache keys stay valid)
+        if self._stored_trials is not None:
+            trials = self._stored_trials
+        else:
+            trials = [
+                self.space.from_unit(
+                    rng.random(max(self.space.num_tunable, 1))
+                )
+                for _ in range(self.num_trials_conf)
+            ]
         trial_ids = list(range(len(trials)))
         max_epochs = self.config.get("train.max_epochs")
+        self._save_search_state(trials)
 
         survivors = trial_ids
         results_by_round: List[Dict[int, float]] = []
@@ -126,11 +162,17 @@ class GraSHSearchJob(SearchJob):
 
             round_results: Dict[int, float] = {}
             for trial_id in survivors:
+                cache_key = f"{round_idx}-{trial_id}"
+                if cache_key in self.trial_cache:
+                    round_results[trial_id] = self.trial_cache[cache_key]
+                    continue
                 value = self._run_trial(
                     trial_id, trials[trial_id], round_idx, epochs, subset,
                     metric_name,
                 )
                 round_results[trial_id] = value
+                self.trial_cache[cache_key] = value
+                self._save_search_state(trials)
                 self.config.trace(
                     event="search_completed", scope="train",
                     grash_round=round_idx, trial=trial_id,
@@ -165,9 +207,12 @@ class GraSHSearchJob(SearchJob):
             "metric_value": best_value,
         }
 
+    def _trial_folder_name(self, round_idx: int, trial_id: int) -> str:
+        return f"round{round_idx}-trial{str(trial_id).zfill(5)}"
+
     def _run_trial(self, trial_id, parameters, round_idx, epochs, subset,
                    metric_name) -> float:
-        folder = f"round{round_idx}-trial{str(trial_id).zfill(5)}"
+        folder = self._trial_folder_name(round_idx, trial_id)
         trial_config = self.config.clone(folder)
         trial_config.set("job.type", "train")
         trial_config.load_options(copy.deepcopy(parameters), create=True)
@@ -175,9 +220,17 @@ class GraSHSearchJob(SearchJob):
         trial_config.set("valid.every", int(epochs))
 
         os.makedirs(trial_config.folder, exist_ok=True)
-        trial_config.init_folder()
 
-        dataset = None
+        predecessor_folder = None
+        if round_idx > 0:
+            predecessor_folder = os.path.join(
+                os.path.dirname(trial_config.folder),
+                self._trial_folder_name(round_idx - 1, trial_id),
+            )
+
+        # full-graph trials share the search's in-memory dataset (it may
+        # live outside the data roots, e.g. a test fixture)
+        dataset = self.dataset.shallow_copy()
         if subset is not None:
             trial_config.set("dataset.name", os.path.basename(subset["folder"]))
             # scale negatives by the relative entity count
@@ -199,11 +252,54 @@ class GraSHSearchJob(SearchJob):
         if self.keep_initialization:
             trial_config.set("random_seed.default", 17 + trial_id)
 
+        # carry state from the predecessor round (reference
+        # search_grash.py:419-469): graph-growing variants initialize
+        # embeddings from the predecessor's packaged model (rows matched by
+        # external id, so growing vocabularies work); the epoch variant
+        # resumes the predecessor's checkpoint outright
+        resume_checkpoint = None
+        if predecessor_folder is not None and self.variant != "epoch":
+            pretrain_file = None
+            if self.keep_pretrained:
+                pretrain_file = os.path.join(predecessor_folder, "model_best.pt")
+            elif self.keep_initialization:
+                pretrain_file = os.path.join(
+                    predecessor_folder, "model_00000.pt"
+                )
+            if pretrain_file is not None and os.path.isfile(pretrain_file):
+                trial_config.set(
+                    "lookup_embedder.pretrain.model_filename", pretrain_file
+                )
+        elif predecessor_folder is not None and self.variant == "epoch":
+            pred_config = Config(folder=predecessor_folder)
+            last = pred_config.last_checkpoint_number()
+            if last is not None:
+                import shutil
+
+                src = pred_config.checkpoint_file(last)
+                dst = trial_config.checkpoint_file(last)
+                shutil.copy(src, dst)
+                resume_checkpoint = dst
+                trial_config.log(
+                    f"Copied predecessor checkpoint {src}; resuming."
+                )
+
+        trial_config.init_folder()
+
         try:
-            job = Job.create(trial_config, dataset=dataset)
+            if resume_checkpoint is not None:
+                from kge_tpu.utils.io import load_checkpoint
+
+                checkpoint = load_checkpoint(resume_checkpoint)
+                job = Job.create_from(
+                    checkpoint, new_config=trial_config, dataset=dataset
+                )
+            else:
+                job = Job.create(trial_config, dataset=dataset)
             job.parent_job = self
             job.run()
             valid_trace = getattr(job, "valid_trace", [])
+            self._package_trial_model(trial_config, job.dataset)
             if not valid_trace:
                 return float("nan")
             return float(valid_trace[-1].get(metric_name, float("nan")))
@@ -212,3 +308,23 @@ class GraSHSearchJob(SearchJob):
             if self.on_error == "continue":
                 return float("nan")
             raise
+
+    def _package_trial_model(self, trial_config: Config, dataset: Dataset):
+        """Package the trial's init/best checkpoint so the next round can
+        initialize from it (reference search_grash.py:482-490)."""
+        if self.variant == "epoch":
+            return
+        from kge_tpu.utils.package import package_model
+
+        jobs = []
+        if self.keep_initialization:
+            jobs.append(("checkpoint_00000.pt", "model_00000.pt"))
+        if self.keep_pretrained:
+            jobs.append(("checkpoint_best.pt", "model_best.pt"))
+        for src, dst in jobs:
+            src_path = os.path.join(trial_config.folder, src)
+            if os.path.isfile(src_path):
+                package_model(
+                    src_path, os.path.join(trial_config.folder, dst),
+                    dataset=dataset,
+                )

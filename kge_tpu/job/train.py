@@ -107,6 +107,11 @@ class TrainingJob(TrainingOrEvaluationJob):
                 "only. You can only call run_epoch()"
             )
 
+        # save the initialization for reproducibility (reference
+        # train.py:146-147; retained under train.checkpoint.keep_init)
+        if self.epoch == 0:
+            self._save(self.config.checkpoint_file(0))
+
         self.config.log("Starting training...")
         checkpoint_every = self.config.get("train.checkpoint.every")
         checkpoint_keep = self.config.get("train.checkpoint.keep")

@@ -12,7 +12,8 @@ from kge_tpu.dataset import Dataset
 from kge_tpu.utils.io import load_checkpoint, save_checkpoint
 
 
-def package_model(input_checkpoint: str, output: Optional[str] = None) -> str:
+def package_model(input_checkpoint: str, output: Optional[str] = None,
+                  dataset: Optional[Dataset] = None) -> str:
     """Convert a train checkpoint into a packaged model file.
 
     ``input_checkpoint`` may also be an experiment folder, in which case the
@@ -40,7 +41,8 @@ def package_model(input_checkpoint: str, output: Optional[str] = None) -> str:
         output = os.path.join(folder, filename)
 
     config = Config.create_from(checkpoint)
-    dataset = Dataset.create_from(checkpoint, config, preload_data=False)
+    if dataset is None:
+        dataset = Dataset.create_from(checkpoint, config, preload_data=False)
 
     packaged = {
         "type": "package",

@@ -213,6 +213,7 @@ def test_grash_search(tmp_path):
            "grash_search.search_budget": 2,
            "grash_search.variant": "combined",
            "grash_search.seed": 3,
+           "grash_search.keep_pretrained": True,
            "grash_search.parameters": SPACE,
            "train.max_epochs": 4,
            "dataset.name": "synth_grash"},
@@ -222,3 +223,51 @@ def test_grash_search(tmp_path):
     result = job.run()
     assert result["best_parameters"] is not None
     assert np.isfinite(result["metric_value"])
+    # keep_pretrained: each non-final-round trial left a packaged model for
+    # the next round to initialize from
+    round0 = [d for d in os.listdir(config.folder) if d.startswith("round0-")]
+    assert len(round0) == 4
+    assert all(
+        os.path.isfile(os.path.join(config.folder, d, "model_best.pt"))
+        for d in round0
+    )
+    # search resume: completed trials come from the cache (no re-training);
+    # the fixture dataset lives outside the data roots, so pass it in
+    checkpoint = load_checkpoint(config.checkpoint_file(1))
+    job2 = Job.create_from(checkpoint, dataset=dataset)
+    assert len(job2.trial_cache) >= 5  # 4 trials round 0 + >=1 round 1
+    result2 = job2.run()
+    assert result2["metric_value"] == pytest.approx(result["metric_value"])
+
+
+def test_grash_search_epoch_variant(tmp_path):
+    """Epoch variant: later rounds resume the predecessor's checkpoint."""
+    from tests.util import make_synthetic_dataset
+    from kge_tpu.dataset import Dataset
+
+    folder = make_synthetic_dataset(tmp_path / "synth_grash_e",
+                                    num_entities=32, num_relations=4,
+                                    num_train=256)
+    config = make_search_config(
+        "grash_search",
+        **{"grash_search.num_trials": 4, "grash_search.eta": 2,
+           "grash_search.search_budget": 2,
+           "grash_search.variant": "epoch",
+           "grash_search.seed": 3,
+           "grash_search.parameters": SPACE,
+           "train.max_epochs": 4,
+           "dataset.name": "synth_grash_e"},
+    )
+    dataset = Dataset.create(config, folder=str(folder))
+    job = Job.create(config, dataset)
+    result = job.run()
+    assert np.isfinite(result["metric_value"])
+    # the survivor's round-1 folder contains a checkpoint copied from its
+    # round-0 run (resume), i.e. training continued past the early epochs
+    round1 = [d for d in os.listdir(config.folder) if d.startswith("round1-")]
+    assert len(round1) == 2
+    for d in round1:
+        trace_file = os.path.join(config.folder, d, "trace.yaml")
+        entries = [yaml.safe_load(line) for line in open(trace_file)]
+        resumed = [e for e in entries if e.get("event") == "job_resumed"]
+        assert resumed, f"round-1 trial {d} did not resume round 0"
