@@ -30,7 +30,7 @@ BATCH_SIZE = 8192
 NUM_NEG = 128
 
 
-def build_job():
+def build_job(overrides=()):
     from __graft_entry__ import _write_synthetic_dataset
     from kge_tpu import Config, Dataset
     from kge_tpu.job import TrainingJob
@@ -55,6 +55,8 @@ def build_job():
     config.set("complex.entity_embedder.dim", DIM, create=True)
     config.set("complex.relation_embedder.dim", DIM, create=True)
     config.set("random_seed.default", 0)
+    for key, value in overrides:
+        config.set(key, value, create=True)
     dataset = Dataset.create(config, folder=str(folder))
     return TrainingJob.create(config, dataset)
 

@@ -233,6 +233,29 @@ def _rows_set_kernel(ids_ref, table_in, upd_hbm, table_out, sems):
     jax.lax.fori_loop(jnp.maximum(0, n - _NSEM), n, tail, 0)
 
 
+_rows_set_supported: Optional[bool] = None
+
+
+def _probe_rows_set(d: int) -> bool:
+    """One-time AOT compile probe: some libtpu versions reject 1-row slices
+    of tiled HBM memrefs (sublane-alignment), in which case the DMA kernel
+    cannot be used on this platform at all."""
+    global _rows_set_supported
+    if _rows_set_supported is None:
+        try:
+            jax.jit(
+                functools.partial(_rows_set_pallas, interpret=False)
+            ).lower(
+                jax.ShapeDtypeStruct((16, d), jnp.float32),
+                jax.ShapeDtypeStruct((9,), jnp.int32),
+                jax.ShapeDtypeStruct((9, d), jnp.float32),
+            ).compile()
+            _rows_set_supported = True
+        except Exception:  # pragma: no cover - depends on libtpu version
+            _rows_set_supported = False
+    return _rows_set_supported
+
+
 def rows_set(
     table: jax.Array, ids: jax.Array, rows: jax.Array,
     interpret: Optional[bool] = None,
@@ -241,16 +264,24 @@ def rows_set(
     per-row DMAs (input/output aliased) instead of XLA's copy-the-operand
     scatter — ~20x faster for small row counts against multi-GB tables.
     Duplicate ids must carry identical rows. Falls back to the XLA scatter
-    off-TPU."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
+    off-TPU (and on libtpu versions whose Mosaic rejects unaligned
+    single-row HBM slices, detected by a one-time compile probe)."""
     if interpret is None:
         interpret = _backend() != "tpu"
-    if interpret or table.shape[-1] % 128 != 0:
+    if (
+        interpret
+        or table.shape[-1] % 128 != 0
+        or not _probe_rows_set(int(table.shape[-1]))
+    ):
         # the DMA ring is TPU-specific and needs lane-aligned rows; keep
         # CPU/test/unaligned semantics identical via the XLA scatter
         return table.at[ids].set(rows, unique_indices=False)
+    return _rows_set_pallas(table, ids, rows, interpret=False)
+
+
+def _rows_set_pallas(table, ids, rows, *, interpret: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
     ids = ids.astype(jnp.int32)
     return pl.pallas_call(
