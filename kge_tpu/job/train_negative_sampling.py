@@ -73,6 +73,19 @@ class TrainingJobNegativeSampling(TrainingJob):
 
         # on-device sampling fast path (negatives drawn inside the jitted
         # step): available when no filtering is configured
+        fused = self.config.check(
+            "negative_sampling.fused_scoring", ["auto", "always", "never"]
+        )
+        self._fused = fused != "never" and self._fused_eligible()
+        if fused == "always" and not self._fused:
+            raise ValueError(
+                "negative_sampling.fused_scoring=always requires lookup "
+                "embedders, implementation != 'all', and a model without "
+                "internal id arithmetic (no reciprocal wrapper)"
+            )
+        if self._fused:
+            self.config.log("Using fused (localized single-gather) scoring")
+
         on_device = self.config.check(
             "negative_sampling.on_device", ["auto", "always", "never"]
         )
@@ -228,12 +241,51 @@ class TrainingJobNegativeSampling(TrainingJob):
                 params, triples[:, S], triples[:, P], targets, ctx
             )
 
-    def _loss_for_batch(self, params, batch, rng):
+    def _fused_eligible(self) -> bool:
+        """The fused path rewrites each batch to "localized" ids over
+        mini-tables gathered once (_localize_batch): autodiff then emits a
+        single table-sized scatter-add per table instead of one per
+        embed() call — the dominant HBM traffic of a step. Exact for any
+        optimizer/penalty/dropout (penalties run on the dense tables in the
+        step builder; dropout draws depend only on rng and shape)."""
+        from kge_tpu.models.base import LookupEmbedder
+
+        if self._implementation == "all":
+            return False  # full-vocabulary scoring reads the whole table
+        if not getattr(self.model, "supports_localized_batches", True):
+            return False
+        for emb in (self.model._entity_embedder, self.model._relation_embedder):
+            if type(emb) is not LookupEmbedder:
+                return False
+        params = self.model_params
+        return (
+            isinstance(params, dict)
+            and "entity_embedder" in params
+            and "relation_embedder" in params
+            and "embeddings" in params["entity_embedder"]
+            and "embeddings" in params["relation_embedder"]
+        )
+
+    def _loss_for_batch(self, params, batch, rng, _localized=False):
+        if self._fused and not _localized:
+            batch, ent_ids, rel_ids = self._localize_batch(
+                batch, batch["triples"], rng
+            )
+            params = dict(params)
+            params["entity_embedder"] = {
+                **params["entity_embedder"],
+                "embeddings": params["entity_embedder"]["embeddings"][ent_ids],
+            }
+            params["relation_embedder"] = {
+                **params["relation_embedder"],
+                "embeddings": params["relation_embedder"]["embeddings"][rel_ids],
+            }
+            _localized = True
         triples = batch["triples"]
         mask = batch["mask"]
         batch_size = batch.get("__denom__", jnp.sum(mask))
         ctx = Ctx(train=True, rng=rng, stats={})
-        if self._on_device:
+        if self._on_device and not _localized:
             batch = dict(batch)
             for slot in self._active_slots:
                 if (
@@ -266,6 +318,62 @@ class TrainingJobNegativeSampling(TrainingJob):
         aux["stats"] = ctx.stats
         return total, aux
 
+    # -- batch localization (shared by the fused and sparse-update paths) --------
+
+    def _localize_batch(self, batch, triples, rng):
+        """Pre-draw negatives, collect the global row ids the batch touches
+        (in a fixed order), and rewrite the batch to mini-table positions.
+        Returns (local_batch, ent_ids, rel_ids); gathering the tables at
+        those ids yields mini-tables the rewritten batch indexes exactly."""
+        n = triples.shape[0]
+        batch = dict(batch)
+        if self._on_device:
+            for slot in self._active_slots:
+                if (
+                    f"neg_unique_{slot}" in batch
+                    or f"neg_samples_{slot}" in batch
+                ):
+                    continue  # drawn by the caller / host sampler
+                batch.update(
+                    self._draw_negatives_on_device(
+                        triples, slot, jax.random.fold_in(rng, 1000 + slot)
+                    )
+                )
+        ent_ids = [triples[:, S], triples[:, O]]
+        rel_ids = [triples[:, P]]
+        local_triples = [
+            jnp.arange(n, dtype=triples.dtype),        # s -> [0, n)
+            jnp.arange(n, dtype=triples.dtype),        # p -> [0, n) (rel)
+            n + jnp.arange(n, dtype=triples.dtype),    # o -> [n, 2n)
+        ]
+        ent_off, rel_off = 2 * n, n
+        for slot in self._active_slots:
+            is_rel = slot == P
+            ids, off = (rel_ids, rel_off) if is_rel else (ent_ids, ent_off)
+            ukey, skey = f"neg_unique_{slot}", f"neg_samples_{slot}"
+            if ukey in batch:
+                arr = batch[ukey]
+                ids.append(arr)
+                batch[ukey] = off + jnp.arange(arr.shape[0], dtype=arr.dtype)
+                off += arr.shape[0]
+            elif skey in batch:
+                arr = batch[skey]
+                ids.append(arr.reshape(-1))
+                batch[skey] = off + jnp.arange(
+                    arr.size, dtype=arr.dtype
+                ).reshape(arr.shape)
+                off += arr.size
+            if is_rel:
+                rel_off = off
+            else:
+                ent_off = off
+        batch["triples"] = jnp.stack(local_triples, axis=1)
+        return (
+            batch,
+            jnp.concatenate([a.reshape(-1) for a in ent_ids]),
+            jnp.concatenate([a.reshape(-1) for a in rel_ids]),
+        )
+
     # -- sparse embedding update -------------------------------------------------
 
     def _sparse_update_eligible(self) -> bool:
@@ -289,6 +397,10 @@ class TrainingJobNegativeSampling(TrainingJob):
         # collect batch-norm stats or dense scorer grads; keep those on the
         # standard step
         if self.model_params.get("scorer"):
+            return False
+        # models with internal id arithmetic (reciprocal wrapper) cannot
+        # consume localized batches
+        if not getattr(self.model, "supports_localized_batches", True):
             return False
         params = self.model_params
         if not (
@@ -353,57 +465,6 @@ class TrainingJobNegativeSampling(TrainingJob):
         the ones the batch touches (positions are static, so the batch's
         indexes localize to arange offsets), and the optimizer applies
         exact row-sparse updates to the real tables."""
-        S_, P_, O_ = S, P, O
-
-        def localize(batch, triples, rng):
-            """Pre-draw negatives, collect global row ids, and rewrite the
-            batch to mini-table positions."""
-            n = triples.shape[0]
-            batch = dict(batch)
-            if self._on_device:
-                for slot in self._active_slots:
-                    batch.update(
-                        self._draw_negatives_on_device(
-                            triples, slot, jax.random.fold_in(rng, 1000 + slot)
-                        )
-                    )
-            ent_ids = [triples[:, S_], triples[:, O_]]
-            rel_ids = [triples[:, P_]]
-            local_triples = [
-                jnp.arange(n, dtype=triples.dtype),        # s -> [0, n)
-                jnp.arange(n, dtype=triples.dtype),        # p -> [0, n) (rel)
-                n + jnp.arange(n, dtype=triples.dtype),    # o -> [n, 2n)
-            ]
-            ent_off, rel_off = 2 * n, n
-            for slot in self._active_slots:
-                is_rel = slot == P_
-                ids, off = (rel_ids, rel_off) if is_rel else (ent_ids, ent_off)
-                ukey, skey = f"neg_unique_{slot}", f"neg_samples_{slot}"
-                if ukey in batch:
-                    arr = batch[ukey]
-                    ids.append(arr)
-                    batch[ukey] = off + jnp.arange(
-                        arr.shape[0], dtype=arr.dtype
-                    )
-                    off += arr.shape[0]
-                elif skey in batch:
-                    arr = batch[skey]
-                    ids.append(arr.reshape(-1))
-                    batch[skey] = off + jnp.arange(
-                        arr.size, dtype=arr.dtype
-                    ).reshape(arr.shape)
-                    off += arr.size
-                if is_rel:
-                    rel_off = off
-                else:
-                    ent_off = off
-            batch["triples"] = jnp.stack(local_triples, axis=1)
-            return (
-                batch,
-                jnp.concatenate([a.reshape(-1) for a in ent_ids]),
-                jnp.concatenate([a.reshape(-1) for a in rel_ids]),
-            )
-
         def loss_fn(ent_rows, rel_rows, params_stub, batch, rng):
             params = dict(params_stub)
             params["entity_embedder"] = {
@@ -412,7 +473,9 @@ class TrainingJobNegativeSampling(TrainingJob):
             params["relation_embedder"] = {
                 **params_stub["relation_embedder"], "embeddings": rel_rows
             }
-            loss_value, aux = self._loss_for_batch(params, batch, rng)
+            loss_value, aux = self._loss_for_batch(
+                params, batch, rng, _localized=True
+            )
             aux = dict(aux)
             aux["avg_loss"] = loss_value
             aux["penalties"] = {}
@@ -421,7 +484,9 @@ class TrainingJobNegativeSampling(TrainingJob):
 
         def train_step(params, opt_state, batch, rng, lr):
             triples = batch["triples"]
-            local_batch, ent_ids, rel_ids = localize(batch, triples, rng)
+            local_batch, ent_ids, rel_ids = self._localize_batch(
+                batch, triples, rng
+            )
             ent_rows = params["entity_embedder"]["embeddings"][ent_ids]
             rel_rows = params["relation_embedder"]["embeddings"][rel_ids]
             # zero-size stubs so no table-shaped cotangent exists anywhere

@@ -758,6 +758,13 @@ class KgeModel(KgeBase):
         )
         return out
 
+    #: Whether scoring functions index tables only with the ids they are
+    #: passed (no internal id arithmetic). When True, a training job may
+    #: rewrite a batch to "localized" ids over a gathered mini-table (one
+    #: gather / one scatter per table per step). The reciprocal wrapper
+    #: computes p + |R| internally and must opt out.
+    supports_localized_batches: bool = True
+
     def num_parameters(self, params: Params) -> int:
         return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params))
 

@@ -15,6 +15,11 @@ from kge_tpu.models.base import Ctx, EVAL_CTX, KgeModel, Params
 
 
 class ReciprocalRelationsModel(KgeModel):
+    # score_spo/score_po add |R| to the passed relation ids
+    # (reciprocal_relations_model.py:85-91); localized (mini-table) batches
+    # would make that arithmetic index garbage.
+    supports_localized_batches = False
+
     def __init__(self, config, dataset, configuration_key=None,
                  init_for_load_only=False):
         self._init_configuration(config, configuration_key)

@@ -326,6 +326,100 @@ def test_bfloat16_compute_mode():
     assert emb.dtype == jnp.bfloat16
 
 
+@pytest.mark.parametrize("options", [
+    {},  # shared default negatives, on-device
+    {"negative_sampling.shared": False,
+     "negative_sampling.implementation": "triple"},
+    {"negative_sampling.shared": False,
+     "negative_sampling.implementation": "batch"},
+    {"complex.entity_embedder.dropout": 0.3},
+    {"complex.entity_embedder.regularize": "lp",
+     "complex.entity_embedder.regularize_weight": 0.01,
+     "complex.entity_embedder.regularize_args.weighted": True},
+    {"negative_sampling.filtering.o": True},  # host-side sampling path
+])
+def test_fused_scoring_matches_unfused(options):
+    """The fused (localized single-gather) scoring path reproduces the
+    unfused trajectory exactly under the same seeds — including dropout,
+    weighted regularization, and host-drawn filtered negatives."""
+    results = {}
+    for mode in ("never", "auto"):
+        job = make_job(
+            "negative_sampling",
+            **{"negative_sampling.num_samples.s": 3,
+               "negative_sampling.num_samples.o": 3,
+               "negative_sampling.fused_scoring": mode,
+               "random_seed.default": 11,
+               **options},
+        )
+        traces = job.run_epoch_group(3)
+        if mode == "auto":
+            assert job._fused
+        results[mode] = (
+            [t["avg_loss"] for t in traces],
+            np.asarray(job.model_params["entity_embedder"]["embeddings"]),
+            np.asarray(job.model_params["relation_embedder"]["embeddings"]),
+        )
+    assert np.allclose(results["never"][0], results["auto"][0],
+                       rtol=1e-5, atol=1e-6), (results["never"][0],
+                                               results["auto"][0])
+    assert np.allclose(results["never"][1], results["auto"][1],
+                       rtol=1e-5, atol=1e-6)
+    assert np.allclose(results["never"][2], results["auto"][2],
+                       rtol=1e-5, atol=1e-6)
+
+
+def test_fused_scoring_subbatched_matches():
+    """Fused scoring composes with gradient-accumulation subbatches."""
+    results = {}
+    for mode in ("never", "auto"):
+        job = make_job(
+            "negative_sampling",
+            **{"negative_sampling.num_samples.s": 3,
+               "train.batch_size": 4,
+               "train.subbatch_size": 2,
+               "negative_sampling.fused_scoring": mode,
+               "random_seed.default": 3},
+        )
+        traces = job.run_epoch_group(2)
+        results[mode] = (
+            [t["avg_loss"] for t in traces],
+            np.asarray(job.model_params["entity_embedder"]["embeddings"]),
+        )
+    assert np.allclose(results["never"][0], results["auto"][0],
+                       rtol=1e-5, atol=1e-6)
+    assert np.allclose(results["never"][1], results["auto"][1],
+                       rtol=1e-5, atol=1e-6)
+
+
+def test_localized_paths_refuse_reciprocal_models():
+    """Models with internal relation-id arithmetic (the reciprocal wrapper)
+    must not consume localized batches: fused auto turns itself off,
+    fused always errors, and the sparse-update path stays off even when
+    forced (its localized ids would make p + |R| index garbage)."""
+    job = make_job(
+        "negative_sampling", model="reciprocal_relations_model",
+        **{"reciprocal_relations_model.base_model.type": "distmult",
+           "negative_sampling.num_samples.s": 3,
+           "train.sparse_embedding_update": "always"},
+    )
+    job._prepare()
+    job._is_prepared = True
+    assert not job._fused
+    assert not job._sparse_update
+    job.epoch = 1
+    trace = job.run_epoch()
+    assert np.isfinite(trace["avg_loss"])
+
+    with pytest.raises(ValueError, match="fused_scoring"):
+        job = make_job(
+            "negative_sampling", model="reciprocal_relations_model",
+            **{"reciprocal_relations_model.base_model.type": "distmult",
+               "negative_sampling.fused_scoring": "always"},
+        )
+        job._prepare()
+
+
 def test_sparse_embedding_update_matches_dense():
     """Row-sparse table updates must reproduce the dense Adagrad trajectory
     exactly (same seeds, same losses, same final tables)."""
