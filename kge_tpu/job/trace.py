@@ -49,18 +49,19 @@ class Trace:
 
     @staticmethod
     def grep_training_trace_entries(
-        tracefile: str,
+        tracefile: Optional[str],
         train: bool = True,
         valid: bool = True,
         test: bool = False,
         batch_info: bool = False,
         job_id: Optional[str] = None,
+        _preloaded: Optional["Trace"] = None,
     ):
         """Epoch-scoped train/eval entries of the (lineage of) a training
         job. When ``job_id`` is given, follows resumed_from links backwards
         to include all predecessor jobs' entries up to their resume epochs
         (reference trace.py:109-236)."""
-        trace = Trace(tracefile)
+        trace = _preloaded if _preloaded is not None else Trace(tracefile)
         entries = [
             e for e in trace.entries
             if e.get("scope") in (("epoch", "batch") if batch_info else ("epoch",))

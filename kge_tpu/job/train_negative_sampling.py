@@ -52,13 +52,40 @@ class TrainingJobNegativeSampling(TrainingJob):
         )
         implementation = self.config.get("negative_sampling.implementation")
         if implementation == "auto":
-            max_nr_of_negs = max(int(n) for n in self._sampler.num_samples)
+            # The reference picks "batch" for >30 non-shared negatives
+            # because it deduplicates in-batch targets dynamically
+            # (sampler.py:307-344). Under XLA's static shapes there is no
+            # dynamic unique: "batch" would score every row against all
+            # n*num samples (an n x n*num matrix). For non-shared negatives
+            # the choice is between "triple" (each row against its own
+            # samples: gathers + VPU elementwise) and "all" (one MXU matmul
+            # against the whole vocabulary, negatives gathered from the
+            # score matrix). Measured on v5e, "all" wins even at 16
+            # negatives — the MXU's throughput dwarfs the per-row gather
+            # path — until the batch x |V| score matrix stops fitting; so
+            # gate on its size, not on FLOPs.
             if self._sampler.shared:
                 implementation = "batch"
-            elif max_nr_of_negs <= 30:
-                implementation = "triple"
             else:
-                implementation = "batch"
+                vocab = max(
+                    (int(self._sampler.vocabulary_size[slot])
+                     for slot in (S, O)
+                     if self._sampler.num_samples[slot] > 0),
+                    default=self.dataset.num_entities(),
+                )
+                # "all" reads the whole table each step, which rules out the
+                # row-sparse/fused paths — don't auto-select it when the
+                # config demands those.
+                wants_rows_only = (
+                    self.config.get("train.sparse_embedding_update") == "always"
+                    or self.config.get("negative_sampling.fused_scoring")
+                    == "always"
+                )
+                score_matrix_bytes = 4 * self.batch_size * vocab
+                if score_matrix_bytes <= (1 << 30) and not wants_rows_only:
+                    implementation = "all"
+                else:
+                    implementation = "triple"
             self.config.set(
                 "negative_sampling.implementation", implementation, log=True
             )
@@ -76,7 +103,19 @@ class TrainingJobNegativeSampling(TrainingJob):
         fused = self.config.check(
             "negative_sampling.fused_scoring", ["auto", "always", "never"]
         )
-        self._fused = fused != "never" and self._fused_eligible()
+        if fused == "auto":
+            # measured on v5e: localization pays off where backward would
+            # otherwise emit a table-sized scatter per embed() of per-row
+            # negatives ("triple"); for shared negatives a batch touches few
+            # rows and the localization sort costs more than the saved
+            # scatters
+            self._fused = (
+                self._implementation == "triple"
+                and not self._sampler.shared
+                and self._fused_eligible()
+            )
+        else:
+            self._fused = fused == "always" and self._fused_eligible()
         if fused == "always" and not self._fused:
             raise ValueError(
                 "negative_sampling.fused_scoring=always requires lookup "

@@ -22,9 +22,12 @@ def add_dump_parsers(subparsers):
     dump_subparsers.required = True
 
     trace_parser = dump_subparsers.add_parser(
-        "trace", help="Dump trace entries as CSV"
+        "trace", help="Dump trace entries as CSV (default) or YAML"
     )
-    trace_parser.add_argument("source", help="trace file or job folder")
+    trace_parser.add_argument(
+        "source", nargs="?", default=".",
+        help="trace file, job folder, or checkpoint",
+    )
     trace_parser.add_argument("--train", action="store_true",
                               help="include training epochs")
     trace_parser.add_argument("--valid", action="store_true",
@@ -32,13 +35,37 @@ def add_dump_parsers(subparsers):
     trace_parser.add_argument("--test", action="store_true",
                               help="include test evaluations")
     trace_parser.add_argument("--search", action="store_true",
-                              help="include search trace entries")
+                              help="dump the best result of every search trial")
     trace_parser.add_argument("--keysfile", type=str, default=None,
-                              help="file with additional keys to include")
+                              help="file with 'new_key=key' lines to add as "
+                                   "columns (trace first, config second; "
+                                   "special keys: $folder, $checkpoint, "
+                                   "$machine, $base_model)")
     trace_parser.add_argument("--keys", "-k", nargs="*", default=[],
-                              help="additional trace keys to include")
+                              help="additional 'new_key=key' or 'key' columns")
     trace_parser.add_argument("--yaml", action="store_true",
                               help="dump raw yaml instead of CSV")
+    trace_parser.add_argument("--checkpoint", action="store_true",
+                              help="determine the starting job_id from the "
+                                   "folder's best-or-last checkpoint")
+    trace_parser.add_argument("--job_id", default=None,
+                              help="training job id from which the trace is "
+                                   "processed backwards (default: last)")
+    trace_parser.add_argument("--truncate", nargs="?", const=True,
+                              default=False,
+                              help="maximum epoch to include; without an "
+                                   "argument, uses the checkpoint's epoch")
+    trace_parser.add_argument("--batch", action="store_true",
+                              help="include batch-scoped entries")
+    trace_parser.add_argument("--example", action="store_true",
+                              help="include example-scoped entries")
+    trace_parser.add_argument("--no-header", action="store_true",
+                              help="omit the CSV header row")
+    trace_parser.add_argument("--no-default-keys", "-K", action="store_true",
+                              help="exclude the default columns")
+    trace_parser.add_argument("--list-keys", action="store_true",
+                              help="list all keys occurring in the selected "
+                                   "entries and exit")
 
     checkpoint_parser = dump_subparsers.add_parser(
         "checkpoint", help="Dump a checkpoint overview as YAML"
@@ -96,47 +123,204 @@ _DEFAULT_TRACE_COLUMNS = [
 
 
 def _dump_trace(args):
-    path = _resolve_trace_file(args.source)
+    """Reference kge/util/dump.py:279-591 (surface; own implementation)."""
+    source = args.source
+    folder = source if os.path.isdir(source) else os.path.dirname(source) or "."
+    checkpoint_path = None
+    job_id = args.job_id
+    truncate_epoch: Optional[int] = None
+    if args.truncate not in (False, True):
+        truncate_epoch = int(args.truncate)
+    if os.path.isfile(source) and source.endswith(".pt"):
+        checkpoint_path = source
+    elif getattr(args, "checkpoint", False) and os.path.isdir(source):
+        checkpoint_path = Config.best_or_last_checkpoint_file(source)
+    if checkpoint_path is not None:
+        from kge_tpu.utils.io import load_checkpoint
+
+        checkpoint = load_checkpoint(checkpoint_path)
+        job_id = job_id or checkpoint.get("job_id")
+        if args.truncate is True:
+            truncate_epoch = checkpoint.get("epoch")
+    elif args.truncate is True:
+        raise ValueError(
+            "--truncate without an epoch number requires a checkpoint "
+            "(a checkpoint source or --checkpoint)"
+        )
+    path = _resolve_trace_file(
+        folder if os.path.isdir(source) or checkpoint_path else source
+    )
     entries = _read_trace(path)
 
-    # filter by entry kind; default (no flags): everything epoch-scoped
-    any_filter = args.train or args.valid or args.test or args.search
-    selected = []
-    for e in entries:
-        scope = e.get("scope")
-        if scope not in ("epoch", None):
-            continue
-        job = e.get("job")
-        if not any_filter:
-            selected.append(e)
-        elif args.train and job == "train" and e.get("event") == "epoch_completed":
-            selected.append(e)
-        elif args.valid and e.get("event") == "eval_completed" and \
-                e.get("split") == "valid":
-            selected.append(e)
-        elif args.test and e.get("event") == "eval_completed" and \
-                e.get("split") == "test":
-            selected.append(e)
-        elif args.search and job == "search":
-            selected.append(e)
+    if args.search:
+        selected = _best_search_trial_entries(entries)
+    else:
+        selected = _select_training_entries(
+            entries, args, job_id, truncate_epoch
+        )
+
+    if args.list_keys:
+        keys: Dict[str, None] = {}
+        for e in selected:
+            for k in e:
+                keys.setdefault(k, None)
+        for k in keys:
+            print(k)
+        return
 
     if args.yaml:
         for e in selected:
             print(yaml.dump(e, default_flow_style=True, width=float("inf")).strip())
         return
 
-    extra_keys = list(args.keys)
+    # column spec: 'name=key' renames; bare 'key' keeps its name. Values are
+    # resolved from the trace entry first and the job folder's config second;
+    # $-keys are derived.
+    extra_specs: List[str] = list(args.keys)
     if args.keysfile:
         with open(args.keysfile) as f:
-            extra_keys += [line.strip() for line in f if line.strip()]
-    columns = _DEFAULT_TRACE_COLUMNS + [
-        k for k in extra_keys if k not in _DEFAULT_TRACE_COLUMNS
+            extra_specs += [
+                line.strip() for line in f
+                if line.strip() and not line.strip().startswith("#")
+            ]
+    extra: List[tuple] = []
+    for spec in extra_specs:
+        name, _, key = spec.partition("=")
+        extra.append((name.strip(), (key or name).strip()))
+
+    default_columns = [] if args.no_default_keys else [
+        c for c in _DEFAULT_TRACE_COLUMNS
+        if any(c in e for e in selected)
     ]
-    used = [c for c in columns if any(c in e for e in selected)]
+    config_cache: Dict[str, Optional[Config]] = {}
+
+    def lookup(entry, key):
+        if key == "$folder":
+            return entry.get("folder", folder)
+        if key == "$checkpoint":
+            return checkpoint_path or ""
+        if key == "$machine":
+            import platform
+
+            return platform.node()
+        if key == "$base_model":
+            model = _config_value(entry, "model", folder, config_cache)
+            if model == "reciprocal_relations_model":
+                return _config_value(
+                    entry, "reciprocal_relations_model.base_model.type",
+                    folder, config_cache,
+                )
+            return model
+        if key in entry:
+            return entry[key]
+        return _config_value(entry, key, folder, config_cache)
+
     writer = csv.writer(sys.stdout)
-    writer.writerow(used)
+    if not args.no_header:
+        writer.writerow(default_columns + [name for name, _ in extra])
     for e in selected:
-        writer.writerow([e.get(c, "") for c in used])
+        row = [e.get(c, "") for c in default_columns]
+        row += [lookup(e, key) for _, key in extra]
+        writer.writerow(row)
+
+
+def _select_training_entries(entries, args, job_id, truncate_epoch):
+    any_filter = args.train or args.valid or args.test
+    train = args.train or not any_filter
+    valid = args.valid or not any_filter
+    test = args.test
+    scopes = ["epoch"]
+    if args.batch:
+        scopes.append("batch")
+    if args.example:
+        scopes.append("example")
+
+    # lineage walk (resumed jobs form one logical run), as in
+    # Trace.grep_training_trace_entries but with configurable scopes
+    from kge_tpu.job.trace import Trace
+
+    trace = Trace()
+    trace.entries = entries
+    lineage = Trace.grep_training_trace_entries(
+        tracefile=None, train=True, valid=True, test=True, job_id=job_id,
+        _preloaded=trace,
+    )
+    lineage_ids = {e.get("job_id") for e in lineage} | {
+        e.get("parent_job_id") for e in lineage
+    }
+    if not lineage_ids:
+        lineage_ids = {e.get("job_id") for e in entries}
+
+    selected = []
+    for e in entries:
+        if e.get("scope", "epoch") not in scopes:
+            continue
+        jid = e.get("job_id")
+        pid = e.get("parent_job_id")
+        if jid not in lineage_ids and pid not in lineage_ids and not any(
+            isinstance(i, str) and isinstance(pid, str) and i.startswith(pid)
+            for i in lineage_ids
+        ):
+            continue
+        if truncate_epoch is not None and e.get("epoch", 0) > truncate_epoch:
+            continue
+        job = e.get("job")
+        if job == "train":
+            if train:
+                selected.append(e)
+        elif job == "eval":
+            split = e.get("split")
+            if (split == "valid" and valid) or (split == "test" and test):
+                selected.append(e)
+    return selected
+
+
+def _best_search_trial_entries(entries):
+    """The best validation result of every search trial (entries annotated
+    by the search job with folder/metric_value, reference search.py:107-232)."""
+    best: Dict[str, Dict[str, Any]] = {}
+    order: List[str] = []
+    for e in entries:
+        if e.get("job") == "search" and e.get("scope") == "train":
+            trial = str(e.get("folder", e.get("child_job_id", "")))
+            metric = e.get("metric_value")
+            if trial not in best:
+                order.append(trial)
+            if metric is not None and (
+                trial not in best
+                or best[trial].get("metric_value", float("-inf")) <= metric
+            ):
+                best[trial] = e
+    return [best[t] for t in order if t in best]
+
+
+def _config_value(entry, key, folder, cache):
+    """Resolve a dotted config key for the job folder the entry came from
+    (search-trial entries carry their own subfolder)."""
+    sub = entry.get("folder")
+    candidates = []
+    if isinstance(sub, str):
+        candidates.append(sub if os.path.isabs(sub) else os.path.join(folder, sub))
+    candidates.append(folder)
+    for cand in candidates:
+        if cand not in cache:
+            cfg_path = os.path.join(cand, "config.yaml")
+            cfg = None
+            if os.path.isfile(cfg_path):
+                try:
+                    cfg = Config(folder=cand, load_default=True)
+                    with open(cfg_path) as f:
+                        cfg.load_options(yaml.safe_load(f), create=True)
+                except Exception:
+                    cfg = None
+            cache[cand] = cfg
+        cfg = cache[cand]
+        if cfg is not None:
+            try:
+                return cfg.get(key)
+            except KeyError:
+                continue
+    return ""
 
 
 def _dump_checkpoint(args):

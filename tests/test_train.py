@@ -327,23 +327,29 @@ def test_bfloat16_compute_mode():
 
 
 @pytest.mark.parametrize("options", [
-    {},  # shared default negatives, on-device
+    {"negative_sampling.shared": True,
+     "negative_sampling.shared_type": "default"},  # shared, on-device
     {"negative_sampling.shared": False,
      "negative_sampling.implementation": "triple"},
     {"negative_sampling.shared": False,
      "negative_sampling.implementation": "batch"},
-    {"complex.entity_embedder.dropout": 0.3},
+    # pin the implementation below: fused/unfused must compare the same
+    # scoring path (auto would resolve them differently)
+    {"complex.entity_embedder.dropout": 0.3,
+     "negative_sampling.implementation": "triple"},
     {"complex.entity_embedder.regularize": "lp",
      "complex.entity_embedder.regularize_weight": 0.01,
-     "complex.entity_embedder.regularize_args.weighted": True},
-    {"negative_sampling.filtering.o": True},  # host-side sampling path
+     "complex.entity_embedder.regularize_args.weighted": True,
+     "negative_sampling.implementation": "triple"},
+    {"negative_sampling.filtering.o": True,
+     "negative_sampling.implementation": "triple"},  # host-side sampling
 ])
 def test_fused_scoring_matches_unfused(options):
     """The fused (localized single-gather) scoring path reproduces the
     unfused trajectory exactly under the same seeds — including dropout,
     weighted regularization, and host-drawn filtered negatives."""
     results = {}
-    for mode in ("never", "auto"):
+    for mode in ("never", "always"):
         job = make_job(
             "negative_sampling",
             **{"negative_sampling.num_samples.s": 3,
@@ -353,26 +359,26 @@ def test_fused_scoring_matches_unfused(options):
                **options},
         )
         traces = job.run_epoch_group(3)
-        if mode == "auto":
+        if mode == "always":
             assert job._fused
         results[mode] = (
             [t["avg_loss"] for t in traces],
             np.asarray(job.model_params["entity_embedder"]["embeddings"]),
             np.asarray(job.model_params["relation_embedder"]["embeddings"]),
         )
-    assert np.allclose(results["never"][0], results["auto"][0],
+    assert np.allclose(results["never"][0], results["always"][0],
                        rtol=1e-5, atol=1e-6), (results["never"][0],
-                                               results["auto"][0])
-    assert np.allclose(results["never"][1], results["auto"][1],
+                                               results["always"][0])
+    assert np.allclose(results["never"][1], results["always"][1],
                        rtol=1e-5, atol=1e-6)
-    assert np.allclose(results["never"][2], results["auto"][2],
+    assert np.allclose(results["never"][2], results["always"][2],
                        rtol=1e-5, atol=1e-6)
 
 
 def test_fused_scoring_subbatched_matches():
     """Fused scoring composes with gradient-accumulation subbatches."""
     results = {}
-    for mode in ("never", "auto"):
+    for mode in ("never", "always"):
         job = make_job(
             "negative_sampling",
             **{"negative_sampling.num_samples.s": 3,
@@ -386,9 +392,9 @@ def test_fused_scoring_subbatched_matches():
             [t["avg_loss"] for t in traces],
             np.asarray(job.model_params["entity_embedder"]["embeddings"]),
         )
-    assert np.allclose(results["never"][0], results["auto"][0],
+    assert np.allclose(results["never"][0], results["always"][0],
                        rtol=1e-5, atol=1e-6)
-    assert np.allclose(results["never"][1], results["auto"][1],
+    assert np.allclose(results["never"][1], results["always"][1],
                        rtol=1e-5, atol=1e-6)
 
 
