@@ -197,3 +197,49 @@ def test_conve_requires_direction():
         model.score_spo(params, s, s, s)
     out = model.score_spo(params, s, jnp.zeros(2, dtype=jnp.int32), s, direction="o")
     assert out.shape == (2,)
+
+
+@pytest.mark.parametrize("model_name", ["transe", "transh", "rotate"])
+def test_pairwise_chunking_matches_unchunked(model_name, monkeypatch):
+    """Distance-family sp_/_po forms chunk their [n, chunk, d] intermediate
+    over targets; with a tiny chunk budget the scores must be unchanged."""
+    from kge_tpu.models import translation
+
+    model, params, dataset = make_model(model_name)
+    E, R = dataset.num_entities(), dataset.num_relations()
+    s = jnp.asarray(np.arange(E) % E)
+    p = jnp.asarray(np.arange(E) % R)
+    # m=300 targets (> the 128-row chunk floor) so a budget of 1 element
+    # forces ceil(300/128)=3 chunks incl. a padded tail
+    targets = jnp.asarray(np.arange(300) % E)
+
+    unchunked_sp = np.asarray(model.score_sp(params, s, p, targets))
+    unchunked_po = np.asarray(model.score_po(params, p, s, targets))
+
+    monkeypatch.setattr(translation, "_PAIRWISE_BUDGET_ELEMS", 1)
+    chunked_sp = np.asarray(model.score_sp(params, s, p, targets))
+    chunked_po = np.asarray(model.score_po(params, p, s, targets))
+
+    assert np.allclose(unchunked_sp, chunked_sp, atol=ATOL, rtol=RTOL)
+    assert np.allclose(unchunked_po, chunked_po, atol=ATOL, rtol=RTOL)
+
+
+@pytest.mark.parametrize("model_name", ["transe", "transh", "rotate"])
+def test_distance_models_force_triple_negatives(model_name):
+    """Distance models resolve negative_sampling.implementation=auto to
+    "triple" (no MXU advantage in many-targets scoring)."""
+    import tempfile
+
+    from kge_tpu.job import TrainingJob
+    from tests.util import get_test_config, get_test_dataset
+
+    config = get_test_config()
+    config.load_options({"model": model_name})
+    config.set("train.type", "negative_sampling")
+    config.set("negative_sampling.num_samples.s", 3)
+    config.folder = tempfile.mkdtemp(prefix="kge-test-")
+    config.init_folder()
+    dataset = get_test_dataset(config)
+    job = TrainingJob.create(config, dataset)
+    job._prepare()
+    assert job._implementation == "triple"
