@@ -245,18 +245,9 @@ class TrainingJobNegativeSampling(TrainingJob):
             return all_scores[:, :num]
         samples = batch[f"neg_samples_{slot}"]
         if self._implementation == "triple":
-            cols = [triples[:, 0:1], triples[:, 1:2], triples[:, 2:3]]
-            cols[slot] = samples
-            flat = [
-                jnp.broadcast_to(c, (n, num)).reshape(-1) if c.shape[1] == 1
-                else c.reshape(-1)
-                for c in cols
-            ]
-            scores = self.model.score_spo(
-                params, flat[0], flat[1], flat[2],
-                direction=SLOT_STR[slot], ctx=ctx,
-            )
-            return scores.reshape(n, num)
+            # per-row scoring: kept slots embedded once per row, only the
+            # corrupted slot gathers n*num table rows
+            return self.model.score_spo_neg(params, triples, samples, slot, ctx)
         elif self._implementation == "all":
             all_scores = self._score_targets(params, triples, slot, None, ctx)
             return jnp.take_along_axis(all_scores, samples, axis=1)

@@ -240,6 +240,29 @@ class RelationalScorer(KgeBase):
             raise ValueError(f'cannot handle combine="{combine}"')
         return out.reshape(n, -1)
 
+    def score_emb_neg(
+        self, params: Params, s_emb, p_emb, o_emb, slot: int, ctx: Ctx
+    ) -> jax.Array:
+        """Score each row against its own k candidates in the corrupted
+        ``slot`` (0=s, 1=p, 2=o): that slot's embeddings are [n, k, d*], the
+        other two are [n, d*]; result [n, k]. The fallback broadcasts the
+        row embeddings over k and delegates to the "spo" form — broadcasts
+        are free under XLA fusion, so only the corrupted slot pays a
+        per-candidate embedding gather (unlike materializing n*k corrupted
+        triples, which gathers all three slots n*k times)."""
+        emb3 = (s_emb, p_emb, o_emb)[slot]
+        n, k = emb3.shape[0], emb3.shape[1]
+
+        def expand(e):
+            return jnp.broadcast_to(
+                e[:, None, :], (n, k, e.shape[-1])
+            ).reshape(n * k, -1)
+
+        flat = [None, None, None]
+        for i, e in enumerate((s_emb, p_emb, o_emb)):
+            flat[i] = emb3.reshape(n * k, -1) if i == slot else expand(e)
+        return self.score_emb_spo(params, flat[0], flat[1], flat[2], ctx).reshape(n, k)
+
 
 # -- embedders -----------------------------------------------------------------
 
@@ -839,6 +862,29 @@ class KgeModel(KgeBase):
         return self._scorer.score_emb(
             self._scorer_params(params), s_emb, p_emb, o_emb, "spo", ctx.fold(4)
         ).reshape(-1)
+
+    def score_spo_neg(self, params: Params, triples, samples, slot: int,
+                      ctx: Ctx = EVAL_CTX) -> jax.Array:
+        """Scores of each triple against its per-row candidate replacements
+        of ``slot``: samples is [n, k] -> result [n, k]. Embeds the two kept
+        slots once per row; only the candidates gather n*k table rows (the
+        corrupted-triples formulation re-gathers every slot n*k times —
+        3x the HBM gather traffic, the dominant cost of "triple"-implemented
+        negative sampling on TPU)."""
+        n, k = samples.shape
+        embedders = (
+            self.get_s_embedder(), self.get_p_embedder(), self.get_o_embedder()
+        )
+        tables = ("entity_embedder", "relation_embedder", "entity_embedder")
+        embs = []
+        for i in range(3):
+            ids = samples.reshape(-1) if i == slot else triples[:, i]
+            e = embedders[i].embed(params[tables[i]], ids, ctx.fold(1 + i))
+            embs.append(e.reshape(n, k, -1) if i == slot else e)
+        return self._scorer.score_emb_neg(
+            self._scorer_params(params), embs[0], embs[1], embs[2], slot,
+            ctx.fold(4),
+        )
 
     def score_sp(self, params: Params, s, p, o=None, ctx: Ctx = EVAL_CTX) -> jax.Array:
         """Scores of (s_i, p_i, *) against all (or the given) objects; [n, m]."""

@@ -202,6 +202,11 @@ class ConvE(KgeModel):
             return super().score_spo(params, s, p, o, direction, ctx)
         raise ValueError("ConvE can only score objects")
 
+    def score_spo_neg(self, params, triples, samples, slot, ctx=Ctx()):
+        if slot == 2:
+            return super().score_spo_neg(params, triples, samples, slot, ctx)
+        raise ValueError("ConvE can only score objects")
+
 
 class TransformerScorer(RelationalScorer):
     """3-token transformer encoder: [CLS, s+type_s, p+type_p] -> CLS' . o
@@ -335,4 +340,9 @@ class Transformer(KgeModel):
     def score_spo(self, params, s, p, o, direction=None, ctx=Ctx()):
         if direction == "o":
             return super().score_spo(params, s, p, o, direction, ctx)
+        raise ValueError("Transformer can only score objects")
+
+    def score_spo_neg(self, params, triples, samples, slot, ctx=Ctx()):
+        if slot == 2:
+            return super().score_spo_neg(params, triples, samples, slot, ctx)
         raise ValueError("Transformer can only score objects")

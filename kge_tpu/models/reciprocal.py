@@ -89,6 +89,21 @@ class ReciprocalRelationsModel(KgeModel):
             "The reciprocal relations model cannot compute undirected spo scores."
         )
 
+    def score_spo_neg(self, params, triples, samples, slot, ctx: Ctx = EVAL_CTX):
+        import jax.numpy as jnp
+
+        if slot == 2:  # corrupt o: base model direct
+            return self._base_model.score_spo_neg(params, triples, samples, 2, ctx)
+        elif slot == 0:  # corrupt s: (sample, p, o) = base (o, p+|R|, sample)
+            swapped = jnp.stack(
+                [triples[:, 2], triples[:, 1] + self.dataset.num_relations(),
+                 triples[:, 0]], axis=1,
+            )
+            return self._base_model.score_spo_neg(params, swapped, samples, 2, ctx)
+        raise ValueError(
+            "The reciprocal relations model cannot score relations."
+        )
+
     def score_sp(self, params, s, p, o=None, ctx: Ctx = EVAL_CTX):
         return self._base_model.score_sp(params, s, p, o, ctx)
 

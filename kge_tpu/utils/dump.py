@@ -266,7 +266,10 @@ def _select_training_entries(entries, args, job_id, truncate_epoch):
             continue
         job = e.get("job")
         if job == "train":
-            if train:
+            if train and (
+                e.get("event") in ("epoch_completed", None)
+                or e.get("scope") in ("batch", "example")
+            ):
                 selected.append(e)
         elif job == "eval":
             split = e.get("split")

@@ -243,3 +243,71 @@ def test_distance_models_force_triple_negatives(model_name):
     job = TrainingJob.create(config, dataset)
     job._prepare()
     assert job._implementation == "triple"
+
+
+@pytest.mark.parametrize("model_name,options", BASE_MODELS,
+                         ids=[m for m, _ in BASE_MODELS])
+def test_score_spo_neg_matches_score_spo(model_name, options):
+    """Per-row negative scoring (kept slots embedded once) must equal
+    score_spo over the materialized corrupted triples, for every slot."""
+    model, params, dataset = make_model(model_name, **options)
+    E, R = dataset.num_entities(), dataset.num_relations()
+    rng = np.random.default_rng(4)
+    n, k = 5, 4
+    triples = jnp.asarray(
+        np.stack([rng.integers(0, E, n), rng.integers(0, R, n),
+                  rng.integers(0, E, n)], axis=1).astype(np.int32)
+    )
+    for slot, vocab in ((0, E), (1, R), (2, E)):
+        samples = jnp.asarray(rng.integers(0, vocab, (n, k)).astype(np.int32))
+        got = np.asarray(
+            model.score_spo_neg(params, triples, samples, slot, EVAL_CTX)
+        )
+        cols = [np.asarray(triples[:, i]) for i in range(3)]
+        flat = []
+        for i in range(3):
+            if i == slot:
+                flat.append(np.asarray(samples).reshape(-1))
+            else:
+                flat.append(np.repeat(cols[i], k))
+        expected = np.asarray(
+            model.score_spo(params, jnp.asarray(flat[0]), jnp.asarray(flat[1]),
+                            jnp.asarray(flat[2]), ctx=EVAL_CTX)
+        ).reshape(n, k)
+        assert np.allclose(got, expected, atol=ATOL, rtol=RTOL), (model_name, slot)
+
+
+def test_score_spo_neg_reciprocal():
+    """Reciprocal wrapper: slot-s corruption routes through p+|R|."""
+    model, params, dataset = make_model(
+        "reciprocal_relations_model",
+        **{"reciprocal_relations_model.base_model.type": "distmult"},
+    )
+    E, R = dataset.num_entities(), dataset.num_relations()
+    rng = np.random.default_rng(5)
+    n, k = 4, 3
+    triples = jnp.asarray(
+        np.stack([rng.integers(0, E, n), rng.integers(0, R, n),
+                  rng.integers(0, E, n)], axis=1).astype(np.int32)
+    )
+    for slot in (0, 2):
+        samples = jnp.asarray(rng.integers(0, E, (n, k)).astype(np.int32))
+        got = np.asarray(
+            model.score_spo_neg(params, triples, samples, slot, EVAL_CTX)
+        )
+        direction = "s" if slot == 0 else "o"
+        flat_s = np.asarray(samples).reshape(-1) if slot == 0 else np.repeat(
+            np.asarray(triples[:, 0]), k)
+        flat_o = np.asarray(samples).reshape(-1) if slot == 2 else np.repeat(
+            np.asarray(triples[:, 2]), k)
+        expected = np.asarray(
+            model.score_spo(
+                params, jnp.asarray(flat_s),
+                jnp.asarray(np.repeat(np.asarray(triples[:, 1]), k)),
+                jnp.asarray(flat_o), direction=direction, ctx=EVAL_CTX,
+            )
+        ).reshape(n, k)
+        assert np.allclose(got, expected, atol=ATOL, rtol=RTOL), slot
+    with pytest.raises(ValueError):
+        model.score_spo_neg(params, triples,
+                            jnp.zeros((n, k), jnp.int32), 1, EVAL_CTX)
