@@ -103,19 +103,14 @@ class TrainingJobNegativeSampling(TrainingJob):
         fused = self.config.check(
             "negative_sampling.fused_scoring", ["auto", "always", "never"]
         )
-        if fused == "auto":
-            # measured on v5e: localization pays off where backward would
-            # otherwise emit a table-sized scatter per embed() of per-row
-            # negatives ("triple"); for shared negatives a batch touches few
-            # rows and the localization sort costs more than the saved
-            # scatters
-            self._fused = (
-                self._implementation == "triple"
-                and not self._sampler.shared
-                and self._fused_eligible()
-            )
-        else:
-            self._fused = fused == "always" and self._fused_eligible()
+        # measured on v5e (shared ComplEx d=512 and triple RotatE d=1024,
+        # FB15k-237 shapes): with per-row negative scoring (score_spo_neg)
+        # the unfused step already gathers each slot once, and the localized
+        # mini-table (batch rows incl. duplicates) holds more rows than the
+        # whole table at these vocabulary sizes — fused lost ~8% (shared)
+        # and ~2x (triple). It remains the right shape for the row-sparse
+        # update path (huge vocabularies), which localizes internally.
+        self._fused = fused == "always" and self._fused_eligible()
         if fused == "always" and not self._fused:
             raise ValueError(
                 "negative_sampling.fused_scoring=always requires lookup "
