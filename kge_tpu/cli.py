@@ -1,10 +1,16 @@
-"""Command-line interface.
+"""kge-tpu command-line interface.
 
-Same UX as the reference (kge/cli.py): commands start/create/resume and the
-meta-commands eval/valid/test (rewritten to resume with job.type=eval), plus
-dump and package; every configuration key is exposed as a ``--key`` flag
-(typed from the defaults, unknown keys re-parsed), with short options
--d/-j/-e/-m.
+Verbs (same surface as the reference, kge/cli.py:87-138): ``start`` /
+``create`` build a new experiment from a config file, ``resume`` continues
+one, ``eval`` / ``valid`` / ``test`` are evaluation presets over resume,
+``dump`` inspects traces/checkpoints/configs, and ``package`` exports a
+standalone model file.
+
+Any configuration key can be passed as ``--dotted.key value`` (or
+``--dotted.key=value``). Unlike the reference — which materializes one
+argparse flag per config key and reparses — overrides here are collected
+from the unparsed remainder and validated by the typed ``Config.set``, so a
+mistyped key fails just as loudly without a 600-flag parser.
 """
 
 from __future__ import annotations
@@ -14,6 +20,7 @@ import datetime
 import os
 import sys
 import traceback
+from typing import Dict, List, Tuple
 
 import yaml
 
@@ -24,133 +31,182 @@ from kge_tpu.utils.io import get_checkpoint_file, load_checkpoint
 from kge_tpu.utils.package import add_package_parser, package_model
 from kge_tpu.utils.seed import seed_from_config
 
+_TRUE_WORDS = frozenset(("yes", "true", "t", "y", "1"))
+_FALSE_WORDS = frozenset(("no", "false", "f", "n", "0"))
 
-def argparse_bool_type(v):
-    if isinstance(v, bool):
-        return v
-    if v.lower() in ("yes", "true", "t", "y", "1"):
+#: short aliases for frequently-used configuration keys
+_SHORT_KEYS = (
+    ("-d", "dataset.name"),
+    ("-j", "job.type"),
+    ("-e", "train.max_epochs"),
+    ("-m", "model"),
+)
+
+#: verbs that are presets over a base verb; the preset key/value pairs are
+#: forced — an explicit conflicting override is rejected
+_EVAL_PRESETS = {
+    "eval": {"job.type": "eval"},
+    "valid": {"job.type": "eval", "eval.split": "valid"},
+    "test": {"job.type": "eval", "eval.split": "test"},
+}
+
+
+def argparse_bool_type(text):
+    """Parse common yes/no spellings into a bool."""
+    if isinstance(text, bool):
+        return text
+    word = str(text).lower()
+    if word in _TRUE_WORDS:
         return True
-    elif v.lower() in ("no", "false", "f", "n", "0"):
+    if word in _FALSE_WORDS:
         return False
-    raise argparse.ArgumentTypeError("Boolean value expected.")
+    raise argparse.ArgumentTypeError(f"not a boolean: {text!r}")
 
 
-def process_meta_command(args, meta_command, fixed_args):
-    """Rewrite a meta command into its base command with fixed options."""
-    if args.command == meta_command:
-        for k, v in fixed_args.items():
-            if k != "command" and vars(args).get(k) and vars(args)[k] != v:
-                raise ValueError(
-                    "invalid argument for '{}' command: --{} {}".format(
-                        meta_command, k, v
-                    )
-                )
-            vars(args)[k] = v
-
-
-def create_parser(config, additional_args=[]):
-    short_options = {
-        "dataset.name": "-d",
-        "job.type": "-j",
-        "train.max_epochs": "-e",
-        "model": "-m",
-    }
-    parser_conf = argparse.ArgumentParser(add_help=False)
-    for key, value in Config.flatten(config.options).items():
-        if key == "+++" or key.endswith(".+++"):
-            continue
-        short = short_options.get(key)
-        argtype = type(value)
-        if argtype == bool:
-            argtype = argparse_bool_type
-        elif value is None or argtype not in (int, float, str):
-            argtype = str
-        if short:
-            parser_conf.add_argument("--" + key, short, type=argtype)
-        else:
-            parser_conf.add_argument("--" + key, type=argtype)
-    for key in additional_args:
-        parser_conf.add_argument(key)
-    parser_conf.add_argument(
-        "--abort-when-cache-outdated", action="store_const", const=True,
-        default=False,
-        help="Abort when an outdated cached dataset file is found instead of "
+def build_parser() -> argparse.ArgumentParser:
+    shared = argparse.ArgumentParser(add_help=False)
+    for short, key in _SHORT_KEYS:
+        shared.add_argument("--" + key, short, metavar="VALUE")
+    shared.add_argument(
+        "--abort-when-cache-outdated", action="store_true",
+        help="fail when a stale cached dataset file is found instead of "
         "recomputing it",
     )
 
-    parser = argparse.ArgumentParser("kge-tpu")
-    subparsers = parser.add_subparsers(title="command", dest="command")
-    subparsers.required = True
+    parser = argparse.ArgumentParser(
+        "kge-tpu",
+        epilog="Any configuration key can be set with --<dotted.key> <value>.",
+    )
+    verbs = parser.add_subparsers(title="command", dest="command", required=True)
 
-    parser_start = subparsers.add_parser(
-        "start", help="Start a new job (create and run it)", parents=[parser_conf]
-    )
-    parser_create = subparsers.add_parser(
-        "create", help="Create a new job (but do not run it)", parents=[parser_conf]
-    )
-    for p in [parser_start, parser_create]:
-        p.add_argument("config", type=str, nargs="?")
-        p.add_argument("--folder", "-f", type=str, help="Output folder to use")
-        p.add_argument(
-            "--run", default=p is parser_start, type=argparse_bool_type,
-            help="Whether to immediately run the created job",
+    for verb, blurb in (
+        ("start", "Create a new job and run it"),
+        ("create", "Create a new job without running it"),
+    ):
+        sub = verbs.add_parser(verb, help=blurb, parents=[shared])
+        sub.add_argument("config", nargs="?", help="config yaml file")
+        sub.add_argument("--folder", "-f", help="experiment folder to create")
+        sub.add_argument(
+            "--run", type=argparse_bool_type, default=(verb == "start"),
+            help="run the job after creating it",
         )
 
-    parser_resume = subparsers.add_parser(
-        "resume", help="Resume a prior job", parents=[parser_conf]
-    )
-    parser_eval = subparsers.add_parser(
-        "eval", help="Evaluate the result of a prior job", parents=[parser_conf]
-    )
-    parser_valid = subparsers.add_parser(
-        "valid", help="Evaluate a prior job on validation data",
-        parents=[parser_conf],
-    )
-    parser_test = subparsers.add_parser(
-        "test", help="Evaluate a prior job on test data", parents=[parser_conf]
-    )
-    for p in [parser_resume, parser_eval, parser_valid, parser_test]:
-        p.add_argument("config", type=str)
-        p.add_argument(
-            "--checkpoint", type=str, default="default",
-            help="Which checkpoint to use: 'default', 'last', 'best', a "
-            "number, or a file name",
+    for verb, blurb in (
+        ("resume", "Resume a prior job"),
+        ("eval", "Evaluate the result of a prior job"),
+        ("valid", "Evaluate a prior job on validation data"),
+        ("test", "Evaluate a prior job on test data"),
+    ):
+        sub = verbs.add_parser(verb, help=blurb, parents=[shared])
+        sub.add_argument("config", help="experiment folder or its config.yaml")
+        sub.add_argument(
+            "--checkpoint", default="default",
+            help="'default', 'last', 'best', an epoch number, or a file name",
         )
-    add_dump_parsers(subparsers)
-    add_package_parser(subparsers)
+
+    add_dump_parsers(verbs)
+    add_package_parser(verbs)
     return parser
+
+
+def collect_overrides(tokens: List[str]) -> List[Tuple[str, str]]:
+    """Turn leftover ``--key value`` / ``--key=value`` tokens into ordered
+    (key, raw-value) pairs."""
+    pairs: List[Tuple[str, str]] = []
+    i = 0
+    while i < len(tokens):
+        token = tokens[i]
+        if not token.startswith("--"):
+            raise SystemExit(f"kge-tpu: unrecognized argument: {token}")
+        name = token[2:]
+        if "=" in name:
+            name, raw = name.split("=", 1)
+            i += 1
+        elif i + 1 < len(tokens) and not tokens[i + 1].startswith("--"):
+            raw = tokens[i + 1]
+            i += 2
+        else:
+            raise SystemExit(f"kge-tpu: missing value for --{name}")
+        pairs.append((name, raw))
+    return pairs
+
+
+def apply_overrides(config: Config, pairs: List[Tuple[str, str]],
+                    forced: Dict[str, str] = {}) -> None:
+    """Apply (key, value) overrides to ``config``.
+
+    Values are interpreted against the current entry: bools accept yes/no
+    spellings, lists/dicts parse as yaml, numbers are coerced by
+    ``Config.set``. ``forced`` entries (from preset verbs like ``test``)
+    are applied last and may not be contradicted by an explicit override.
+    """
+    for key, value in pairs:
+        if key in forced and str(value) != str(forced[key]):
+            raise ValueError(
+                f"--{key} {value} conflicts with this command "
+                f"(which implies {key}={forced[key]})"
+            )
+        if key == "search.device_pool" and isinstance(value, str):
+            value = value.split(",")
+        try:
+            entry = config.get(key)
+        except KeyError:
+            entry = None
+        if isinstance(entry, bool):
+            value = argparse_bool_type(value)
+        elif isinstance(entry, (list, dict)) and isinstance(value, str):
+            value = yaml.safe_load(value)
+        # no create=: a mistyped option name must fail loudly (keys under
+        # +++ extension points are still accepted by Config.set)
+        config.set(key, value)
+        if key == "model":
+            config._import(value)
+    for key, value in forced.items():
+        config.set(key, value)
+
+
+def _fresh_experiment_folder(config_path: str) -> str:
+    stem = os.path.splitext(os.path.basename(config_path))[0]
+    stamp = datetime.datetime.now().strftime("%Y%m%d-%H%M%S")
+    return os.path.join(os.getcwd(), "local", "experiments", f"{stamp}-{stem}")
 
 
 def main():
     from kge_tpu.job import Job
 
-    config = Config()
-    parser = create_parser(config)
-    args, unknown_args = parser.parse_known_args()
-    if len(unknown_args) > 0:
-        parser = create_parser(
-            config, list(filter(lambda a: a.startswith("--"), unknown_args))
-        )
-        args = parser.parse_args()
+    parser = build_parser()
+    args, leftover = parser.parse_known_args()
+    command = args.command
 
-    process_meta_command(args, "create", {"command": "start", "run": False})
-    process_meta_command(args, "eval", {"command": "resume", "job.type": "eval"})
-    process_meta_command(
-        args, "test", {"command": "resume", "job.type": "eval", "eval.split": "test"}
-    )
-    process_meta_command(
-        args, "valid",
-        {"command": "resume", "job.type": "eval", "eval.split": "valid"},
-    )
-
-    if args.command == "dump":
+    if command == "dump":
+        if leftover:
+            parser.parse_args()  # reject the unknown arguments with usage
         dump(args)
-        exit()
-    if args.command == "package":
+        return
+    if command == "package":
+        if leftover:
+            parser.parse_args()
         package_model(args.checkpoint, args.file)
-        exit()
+        return
 
-    if args.command == "start":
+    overrides = collect_overrides(leftover)
+    # the four short/long aliases argparse knows about join the override list
+    for _, key in _SHORT_KEYS:
+        value = vars(args).get(key)
+        if value is not None:
+            overrides.append((key, value))
+    forced = _EVAL_PRESETS.get(command, {})
+    if command in _EVAL_PRESETS:
+        command = "resume"
+    run_job = command == "resume" or (command in ("start", "create") and args.run)
+    if command == "create":
+        command = "start"
+
+    config = Config()
+    quiet = any(k == "console.quiet" and argparse_bool_type(v)
+                for k, v in overrides)
+
+    if command == "start":
         if args.config is None:
             args.config = os.path.join(
                 kge_base_dir(), "..", "examples", "toy-complex-train.yaml"
@@ -159,68 +215,34 @@ def main():
                 "WARNING: No configuration specified; using " + args.config,
                 file=sys.stderr,
             )
-        if not vars(args)["console.quiet"]:
-            print("Loading configuration {}...".format(args.config))
+        if not quiet:
+            print(f"Loading configuration {args.config}...")
         config.load(args.config)
-
-    if args.command == "resume":
-        if os.path.isdir(args.config) and os.path.isfile(
-            os.path.join(args.config, "config.yaml")
+    else:  # resume family
+        target = args.config
+        if os.path.isdir(target) and os.path.isfile(
+            os.path.join(target, "config.yaml")
         ):
-            args.config = os.path.join(args.config, "config.yaml")
-        if not vars(args)["console.quiet"]:
-            print("Resuming from configuration {}...".format(args.config))
-        config.load(args.config)
-        config.folder = os.path.dirname(args.config)
-        if not config.folder:
-            config.folder = "."
+            target = os.path.join(target, "config.yaml")
+        if not quiet:
+            print(f"Resuming from configuration {target}...")
+        config.load(target)
+        config.folder = os.path.dirname(target) or "."
         if not os.path.exists(config.folder):
-            raise ValueError(
-                "{} is not a valid config file for resuming".format(args.config)
-            )
+            raise ValueError(f"{target} is not a valid config file for resuming")
 
-    # overwrite configuration with command-line arguments
-    for key, value in vars(args).items():
-        if key in ("command", "config", "run", "folder", "checkpoint",
-                   "abort_when_cache_outdated"):
-            continue
-        if value is not None:
-            if key == "search.device_pool":
-                value = "".join(value).split(",")
-            try:
-                current = config.get(key)
-                if isinstance(current, bool):
-                    value = argparse_bool_type(value)
-                elif isinstance(current, (list, dict)) and isinstance(value, str):
-                    value = yaml.safe_load(value)
-            except KeyError:
-                pass
-            # no create: a mistyped option name must fail loudly (keys under
-            # +++ extension points are still accepted by Config.set)
-            config.set(key, value)
-            if key == "model":
-                config._import(value)
+    apply_overrides(config, overrides, forced)
 
-    if args.command == "start":
-        if args.folder is None:
-            config_name = os.path.splitext(os.path.basename(args.config))[0]
-            config.folder = os.path.join(
-                os.getcwd(), "local", "experiments",
-                datetime.datetime.now().strftime("%Y%m%d-%H%M%S")
-                + "-" + config_name,
-            )
-        else:
-            config.folder = args.folder
+    if command == "start":
+        config.folder = args.folder or _fresh_experiment_folder(args.config)
 
     try:
-        if args.command == "start" and not config.init_folder():
-            raise ValueError(
-                "output folder {} exists already".format(config.folder)
-            )
-        config.log("Using folder: {}".format(config.folder))
+        if command == "start" and not config.init_folder():
+            raise ValueError(f"output folder {config.folder} exists already")
+        config.log(f"Using folder: {config.folder}")
 
         checkpoint_file = None
-        if hasattr(args, "checkpoint"):
+        if command == "resume":
             checkpoint_file = get_checkpoint_file(config, args.checkpoint)
 
         Dataset._abort_when_cache_outdated = args.abort_when_cache_outdated
@@ -234,31 +256,26 @@ def main():
         distributed.maybe_initialize(config)
         seed_from_config(config)
 
-        if args.command == "start" and not args.run:
+        if not run_job:
             config.log("Job created successfully.")
+            return
+
+        dataset = Dataset.create(config)
+        if command == "resume" and checkpoint_file is not None:
+            checkpoint = load_checkpoint(checkpoint_file)
+            job = Job.create_from(checkpoint, new_config=config, dataset=dataset)
         else:
-            dataset = Dataset.create(config)
-            if args.command == "resume":
-                if checkpoint_file is not None:
-                    checkpoint = load_checkpoint(checkpoint_file)
-                    job = Job.create_from(
-                        checkpoint, new_config=config, dataset=dataset
-                    )
-                else:
-                    job = Job.create(config, dataset)
-                    job.config.log(
-                        "No checkpoint found or specified, starting from "
-                        "scratch..."
-                    )
-            else:
-                job = Job.create(config, dataset)
-            config.log("Configuration:")
-            config.log(yaml.dump(config.options, default_flow_style=False),
-                       prefix="  ", echo=False)
-            job.run()
+            job = Job.create(config, dataset)
+            if command == "resume":
+                job.config.log(
+                    "No checkpoint found or specified, starting from scratch..."
+                )
+        config.log("Configuration:")
+        config.log(yaml.dump(config.options, default_flow_style=False),
+                   prefix="  ", echo=False)
+        job.run()
     except BaseException:
-        tb = traceback.format_exc()
-        config.log(tb, echo=False)
+        config.log(traceback.format_exc(), echo=False)
         raise
 
 

@@ -156,6 +156,57 @@ class Config:
 
     # -- MODIFICATION ---------------------------------------------------------
 
+    @staticmethod
+    def _coerce(value: Any, template: Any) -> Any:
+        """Nudge ``value`` toward the type of the entry it will replace.
+
+        Strings parse to ints/floats (guided by ``template`` when one
+        exists, by their own shape otherwise), ints widen to floats, and
+        bools stringify when the entry holds a string. Values that cannot
+        be reconciled are returned unchanged — the caller decides whether a
+        leftover mismatch is an error.
+        """
+        from kge_tpu.misc import is_number
+
+        if template is None:
+            if isinstance(value, str):
+                for numeric in (int, float):
+                    if is_number(value, numeric):
+                        return numeric(value)
+            return value
+        if isinstance(value, str):
+            for numeric in (float, int):
+                if isinstance(template, numeric) and is_number(value, numeric):
+                    return numeric(value)
+        if type(value) is type(template):
+            return value
+        if isinstance(value, int) and isinstance(template, float):
+            return float(value)
+        if isinstance(value, bool) and isinstance(template, str):
+            return str(value)
+        return value
+
+    def _descend(self, key: str, create: bool):
+        """Walk ``self.options`` to the dict that holds the last segment of
+        dotted ``key``. Returns ``(node, leaf_name, may_create)`` where
+        ``may_create`` reflects whether a ``+++`` extension point anywhere
+        along the path (or the ``create`` argument) permits new keys."""
+        segments = key.split(".")
+        node = self.options
+        for depth, segment in enumerate(segments[:-1]):
+            create = create or "+++" in node
+            if create and segment not in node:
+                node[segment] = {}
+            child = node[segment]
+            if not isinstance(child, dict):
+                raise ValueError(
+                    "cannot set {} because {} is already a value".format(
+                        key, ".".join(segments[: depth + 1])
+                    )
+                )
+            node = child
+        return node, segments[-1], create or "+++" in node
+
     def set(
         self,
         key: str,
@@ -164,79 +215,37 @@ class Config:
         overwrite=Overwrite.Yes,
         log: bool = False,
     ) -> Any:
-        """Set value of specified dotted key.
+        """Assign ``value`` to dotted ``key`` with type checking.
 
-        Type-checks the new value against the current value, coercing strings
-        to numbers and ints to floats where safe (reference kge/config.py:165).
+        New keys are admitted only when ``create`` is given or an enclosing
+        node carries the ``+++`` extension marker. The value is coerced
+        toward the type of the entry it replaces (see ``_coerce``);
+        irreconcilable types are an error. ``overwrite`` governs collisions
+        with an existing value: ``Yes`` replaces it, ``No``/``DefaultOnly``
+        keep it, ``Error`` rejects any change.
         """
-        from kge_tpu.misc import is_number
+        node, leaf, may_create = self._descend(key, create)
+        previous = node.get(leaf)
+        value = Config._coerce(value, previous)
 
-        splits = key.split(".")
-        data = self.options
-
-        # flatten path and see if it is valid to be set in this config
-        path = []
-        for i in range(len(splits) - 1):
-            create = create or "+++" in data
-            if create and splits[i] not in data:
-                data[splits[i]] = dict()
-            path.append(splits[i])
-            new_data = data[splits[i]]
-            if not isinstance(new_data, dict):
-                raise ValueError(
-                    "cannot set {} because {} is already a value".format(
-                        key, ".".join(path)
-                    )
-                )
-            data = new_data
-
-        # check correctness of value
-        try:
-            current_value = data.get(splits[-1])
-        except AttributeError:
-            raise AttributeError(f"These config entries {data} {path} caused an error.")
-
-        if current_value is None:
-            if not create and "+++" not in data:
+        if previous is None:
+            if not may_create:
                 raise KeyError(
                     f"key {key} not present and no new keys allowed here"
                 )
-
-            if isinstance(value, str) and is_number(value, int):
-                value = int(value)
-            elif isinstance(value, str) and is_number(value, float):
-                value = float(value)
         else:
-            if (
-                isinstance(value, str)
-                and isinstance(current_value, float)
-                and is_number(value, float)
-            ):
-                value = float(value)
-            elif (
-                isinstance(value, str)
-                and isinstance(current_value, int)
-                and is_number(value, int)
-            ):
-                value = int(value)
-            if type(value) != type(current_value):
-                if isinstance(value, int) and isinstance(current_value, float):
-                    value = float(value)
-                elif isinstance(value, bool) and isinstance(current_value, str):
-                    value = str(value)
-                else:
-                    raise ValueError(
-                        "key {} has incorrect type (expected {}, found {})".format(
-                            key, type(current_value), type(value)
-                        )
+            if type(value) is not type(previous):
+                raise ValueError(
+                    "key {} has incorrect type (expected {}, found {})".format(
+                        key, type(previous), type(value)
                     )
+                )
             if overwrite in (Config.Overwrite.No, Config.Overwrite.DefaultOnly):
-                return current_value
-            if overwrite == Config.Overwrite.Error and value != current_value:
+                return previous
+            if overwrite == Config.Overwrite.Error and value != previous:
                 raise ValueError(f"key {key} cannot be overwritten")
 
-        # all fine, set value
-        data[splits[-1]] = value
+        node[leaf] = value
         if log:
             self.log(f"Set {key}={value}")
         return value
