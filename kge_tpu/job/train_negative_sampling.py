@@ -81,8 +81,16 @@ class TrainingJobNegativeSampling(TrainingJob):
                     or self.config.get("negative_sampling.fused_scoring")
                     == "always"
                 )
-                score_matrix_bytes = 4 * self.batch_size * vocab
-                if score_matrix_bytes <= (1 << 30) and not wants_rows_only:
+                # a step holds one forward score matrix plus its backward
+                # cotangent per active entity slot — size the whole step,
+                # not a single matrix, against the budget
+                active_entity_slots = sum(
+                    1 for slot in (S, O) if self._sampler.num_samples[slot] > 0
+                ) or 1
+                score_matrix_bytes = (
+                    4 * self.batch_size * vocab * active_entity_slots * 2
+                )
+                if score_matrix_bytes <= (1 << 31) and not wants_rows_only:
                     implementation = "all"
                 else:
                     implementation = "triple"
@@ -90,8 +98,24 @@ class TrainingJobNegativeSampling(TrainingJob):
                 "negative_sampling.implementation", implementation, log=True
             )
         self._implementation = self.config.check(
-            "negative_sampling.implementation", ["triple", "batch", "all"]
+            "negative_sampling.implementation",
+            ["triple", "batch", "all", "pool"],
         )
+        self._pool_factor = int(self.config.get("negative_sampling.pool_factor"))
+        if self._implementation == "pool":
+            if self._sampler.shared:
+                raise ValueError(
+                    "negative_sampling.implementation=pool replaces per-row "
+                    "sampling; it cannot be combined with shared negatives"
+                )
+            if self._sampler.filter_positives.any():
+                raise ValueError(
+                    "negative_sampling.implementation=pool draws candidates "
+                    "on-device and cannot filter positives; use "
+                    "implementation triple/all with filtering"
+                )
+            if self._pool_factor < 1:
+                raise ValueError("negative_sampling.pool_factor must be >= 1")
         self.triples = self.dataset.split(self.train_split)
         self.num_examples = len(self.triples)
         self._active_slots = [
@@ -148,6 +172,19 @@ class TrainingJobNegativeSampling(TrainingJob):
         # scanning requires on-device sampling (no host arrays per batch)
         if not self._on_device:
             return None
+        # per-row sample extraction from the batch x vocab score matrix
+        # ("all"/"batch" with non-shared negatives) deoptimizes inside
+        # lax.scan loops on TPU: XLA lowers the per-row gather and its
+        # transpose scatter to serialized forms (measured ~26 ns/element on
+        # v5e vs vectorized outside the loop). Dispatch such epochs
+        # batch-by-batch instead; the pipelined per-batch path keeps the
+        # device busy. (CPU lowering has no such cliff — keep scanning.)
+        if (
+            not self._sampler.shared
+            and self._implementation in ("all", "batch")
+            and jax.default_backend() == "tpu"
+        ):
+            return None
         return self._scan_data_triples()
 
     def _batches(self):
@@ -194,6 +231,22 @@ class TrainingJobNegativeSampling(TrainingJob):
                 )
             return jax.random.randint(key, shape, 0, vocab, dtype=jnp.int32)
 
+        if self._implementation == "pool" and not self._sampler.shared:
+            # Group-structured pool: P = num * pool_factor iid candidates;
+            # each row independently picks one slot per group of
+            # pool_factor. Chosen slots are distinct by construction and
+            # the pool is iid, so every row's num negatives are exactly
+            # iid draws from the sampling distribution (rows correlate
+            # only through the shared pool). Scoring then needs one
+            # [n, P] matmul plus an m-way select — no per-row gather,
+            # which XLA serializes on TPU.
+            kp, kr = jax.random.split(rng)
+            pool = draw(kp, (num * self._pool_factor,))
+            sel = jax.random.randint(
+                kr, (n, num), 0, self._pool_factor, dtype=jnp.int32
+            )
+            return {f"neg_pool_{slot}": pool, f"neg_sel_{slot}": sel}
+
         if not self._sampler.shared:
             return {f"neg_samples_{slot}": draw(rng, (n, num))}
 
@@ -220,6 +273,18 @@ class TrainingJobNegativeSampling(TrainingJob):
         implementation choice, reference sampler.py:263-356)."""
         num = int(self._sampler.num_samples[slot])
         n = triples.shape[0]
+        if f"neg_pool_{slot}" in batch:
+            # pool implementation: score the pool once, then each row
+            # selects its slot within every group of pool_factor columns
+            # (an elementwise one-hot contraction — no cross-lane gather)
+            pool = batch[f"neg_pool_{slot}"]
+            sel = batch[f"neg_sel_{slot}"]
+            pool_scores = self._score_targets(
+                params, triples, slot, pool, ctx
+            ).reshape(n, num, self._pool_factor)
+            one_hot = jax.nn.one_hot(sel, self._pool_factor,
+                                     dtype=pool_scores.dtype)
+            return jnp.sum(pool_scores * one_hot, axis=2)
         if f"neg_unique_{slot}" in batch:
             # shared negatives: score against the padded unique targets
             targets = batch[f"neg_unique_{slot}"]
@@ -316,6 +381,7 @@ class TrainingJobNegativeSampling(TrainingJob):
                 if (
                     f"neg_unique_{slot}" in batch
                     or f"neg_samples_{slot}" in batch
+                    or f"neg_pool_{slot}" in batch
                 ):
                     continue  # pre-drawn (sparse-update step)
                 batch.update(
@@ -357,6 +423,7 @@ class TrainingJobNegativeSampling(TrainingJob):
                 if (
                     f"neg_unique_{slot}" in batch
                     or f"neg_samples_{slot}" in batch
+                    or f"neg_pool_{slot}" in batch
                 ):
                     continue  # drawn by the caller / host sampler
                 batch.update(
@@ -376,7 +443,16 @@ class TrainingJobNegativeSampling(TrainingJob):
             is_rel = slot == P
             ids, off = (rel_ids, rel_off) if is_rel else (ent_ids, ent_off)
             ukey, skey = f"neg_unique_{slot}", f"neg_samples_{slot}"
-            if ukey in batch:
+            pkey = f"neg_pool_{slot}"
+            if pkey in batch:
+                # pool candidates localize like a shared unique list; the
+                # per-row slot selection (neg_sel) is pool-relative and
+                # needs no rewrite
+                arr = batch[pkey]
+                ids.append(arr)
+                batch[pkey] = off + jnp.arange(arr.shape[0], dtype=arr.dtype)
+                off += arr.shape[0]
+            elif ukey in batch:
                 arr = batch[ukey]
                 ids.append(arr)
                 batch[ukey] = off + jnp.arange(arr.shape[0], dtype=arr.dtype)
@@ -467,9 +543,12 @@ class TrainingJobNegativeSampling(TrainingJob):
         rows_per_batch = 2 * self.batch_size
         for slot in self._active_slots:
             num = int(self._sampler.num_samples[slot])
-            rows_per_batch += (
-                num + 1 if self._sampler.shared else self.batch_size * num
-            )
+            if self._sampler.shared:
+                rows_per_batch += num + 1
+            elif self._implementation == "pool":
+                rows_per_batch += num * self._pool_factor
+            else:
+                rows_per_batch += self.batch_size * num
         return self.dataset.num_entities() >= 8 * rows_per_batch
 
     def _build_step_fn(self):

@@ -16,6 +16,14 @@ from kge_tpu.dataset import Dataset
 from kge_tpu.models.base import Ctx, KgeModel, Params, RelationalScorer
 
 
+def _neg_dot(query, candidates):
+    """[n, k] scores: per-row dot of a query [n, d] with that row's k
+    candidate embeddings [n, k, d]. One contraction — no [n*k, d]
+    materialization (the generic fallback's broadcast, base.py:243, OOMs
+    at FB15k-237 scale: 8192*128 rows)."""
+    return jnp.einsum("nkd,nd->nk", candidates, query)
+
+
 class DistMultScorer(RelationalScorer):
     """score = sum(s * p * o) (reference distmult.py:13-25)."""
 
@@ -32,6 +40,13 @@ class DistMultScorer(RelationalScorer):
         else:
             return super().score_emb(params, s_emb, p_emb, o_emb, combine, ctx)
         return out.reshape(n, -1)
+
+    def score_emb_neg(self, params, s_emb, p_emb, o_emb, slot, ctx):
+        if slot == 0:
+            return _neg_dot(o_emb * p_emb, s_emb)
+        if slot == 1:
+            return _neg_dot(s_emb * o_emb, p_emb)
+        return _neg_dot(s_emb * p_emb, o_emb)
 
 
 class DistMult(KgeModel):
@@ -86,6 +101,27 @@ class ComplExScorer(RelationalScorer):
             return super().score_emb(params, s_emb, p_emb, o_emb, combine, ctx)
         return out.reshape(n, -1)
 
+    def score_emb_neg(self, params, s_emb, p_emb, o_emb, slot, ctx):
+        # the slot-specific complex query (same algebra as sp_/_po/s_o)
+        # dotted against each row's candidates in one contraction
+        if slot == 0:
+            p_re, p_im = self._split(p_emb)
+            o_re, o_im = self._split(o_emb)
+            w_re = p_re * o_re + p_im * o_im
+            w_im = p_im * o_re - p_re * o_im
+            return _neg_dot(jnp.concatenate([w_re, -w_im], axis=1), s_emb)
+        if slot == 1:
+            s_re, s_im = self._split(s_emb)
+            o_re, o_im = self._split(o_emb)
+            v_re = s_re * o_re + s_im * o_im
+            v_im = s_re * o_im - s_im * o_re
+            return _neg_dot(jnp.concatenate([v_re, v_im], axis=1), p_emb)
+        s_re, s_im = self._split(s_emb)
+        p_re, p_im = self._split(p_emb)
+        u_re = s_re * p_re - s_im * p_im
+        u_im = s_re * p_im + s_im * p_re
+        return _neg_dot(jnp.concatenate([u_re, u_im], axis=1), o_emb)
+
 
 class ComplEx(KgeModel):
     def __init__(self, config, dataset, configuration_key=None,
@@ -119,6 +155,16 @@ class RescalScorer(RelationalScorer):
         else:
             return super().score_emb(params, s_emb, p_emb, o_emb, combine, ctx)
         return out.reshape(n, -1)
+
+    def score_emb_neg(self, params, s_emb, p_emb, o_emb, slot, ctx):
+        ent_dim = (o_emb if slot == 0 else s_emb).shape[-1]
+        if slot == 1:
+            pairwise = jnp.einsum("nd,ne->nde", s_emb, o_emb)
+            return _neg_dot(pairwise.reshape(s_emb.shape[0], -1), p_emb)
+        p_mix = p_emb.reshape(-1, ent_dim, ent_dim)
+        if slot == 0:
+            return _neg_dot(jnp.einsum("nde,ne->nd", p_mix, o_emb), s_emb)
+        return _neg_dot(jnp.einsum("nd,nde->ne", s_emb, p_mix), o_emb)
 
 
 def _set_relation_dim_to_square(config: Config, model_self) -> None:
@@ -163,6 +209,14 @@ class CPScorer(RelationalScorer):
         else:
             return super().score_emb(params, s_emb, p_emb, o_emb, combine, ctx)
         return out.reshape(n, -1)
+
+    def score_emb_neg(self, params, s_emb, p_emb, o_emb, slot, ctx):
+        half = (o_emb if slot == 0 else s_emb).shape[-1] // 2
+        if slot == 0:
+            return _neg_dot(o_emb[:, half:] * p_emb, s_emb[:, :, :half])
+        if slot == 1:
+            return _neg_dot(s_emb[:, :half] * o_emb[:, half:], p_emb)
+        return _neg_dot(s_emb[:, :half] * p_emb, o_emb[:, :, half:])
 
 
 class CP(KgeModel):
@@ -209,6 +263,24 @@ class SimplEScorer(RelationalScorer):
         else:
             return super().score_emb(params, s_emb, p_emb, o_emb, combine, ctx)
         return ((out1 + out2) / 2.0).reshape(n, -1)
+
+    def score_emb_neg(self, params, s_emb, p_emb, o_emb, slot, ctx):
+        # query laid out as [head-half | tail-half] to match the
+        # candidate embedding layout, pre-divided by 2
+        if slot == 0:
+            p_fwd, p_bwd = jnp.split(p_emb, 2, axis=1)
+            o_h, o_t = jnp.split(o_emb, 2, axis=1)
+            q = jnp.concatenate([p_fwd * o_t, p_bwd * o_h], axis=1)
+            return _neg_dot(q / 2.0, s_emb)
+        if slot == 1:
+            s_h, s_t = jnp.split(s_emb, 2, axis=1)
+            o_h, o_t = jnp.split(o_emb, 2, axis=1)
+            q = jnp.concatenate([s_h * o_t, s_t * o_h], axis=1)
+            return _neg_dot(q / 2.0, p_emb)
+        s_h, s_t = jnp.split(s_emb, 2, axis=1)
+        p_fwd, p_bwd = jnp.split(p_emb, 2, axis=1)
+        q = jnp.concatenate([s_t * p_bwd, s_h * p_fwd], axis=1)
+        return _neg_dot(q / 2.0, o_emb)
 
 
 class SimplE(KgeModel):

@@ -279,22 +279,23 @@ def _select_training_entries(entries, args, job_id, truncate_epoch):
 
 
 def _best_search_trial_entries(entries):
-    """The best validation result of every search trial (entries annotated
-    by the search job with folder/metric_value, reference search.py:107-232)."""
-    best: Dict[str, Dict[str, Any]] = {}
+    """The final validation result of every search trial (entries annotated
+    by the search job with folder/metric_value, reference search.py:107-232).
+
+    The last entry per trial is kept: the search job already records the
+    trial's best according to valid.metric / valid.metric_max, so picking a
+    numeric max here would invert lower-is-better metrics (e.g. mean_rank)
+    when a resumed search re-reports a trial."""
+    last: Dict[str, Dict[str, Any]] = {}
     order: List[str] = []
     for e in entries:
         if e.get("job") == "search" and e.get("scope") == "train":
             trial = str(e.get("folder", e.get("child_job_id", "")))
-            metric = e.get("metric_value")
-            if trial not in best:
+            if trial not in last:
                 order.append(trial)
-            if metric is not None and (
-                trial not in best
-                or best[trial].get("metric_value", float("-inf")) <= metric
-            ):
-                best[trial] = e
-    return [best[t] for t in order if t in best]
+            if e.get("metric_value") is not None or trial not in last:
+                last[trial] = e
+    return [last[t] for t in order if t in last]
 
 
 def _config_value(entry, key, folder, cache):

@@ -377,3 +377,272 @@ def test_entity_ranking_parity(tmp_path, chunk_size):
         assert np.isclose(ref_trace[k], trace[k], atol=1e-9), (
             k, ref_trace[k], trace[k]
         )
+
+
+# -- neural models, projection embedder, reciprocal wrapper (VERDICT r2 #5) ----
+
+
+def _copy_conve(ref_model, params):
+    """Reference ConvE modules -> our scorer param pytree. Copies must be
+    deep: torch .numpy() shares storage and jax CPU arrays can alias numpy
+    buffers, so a later in-place torch update (BN running stats) would
+    silently change our params."""
+    sc = ref_model._scorer
+    scorer = {
+        "conv_w": jnp.array(sc.convolution.weight.detach().numpy().copy()),
+        "proj_w": jnp.array(sc.projection.weight.detach().numpy().copy()),
+        "proj_b": jnp.array(sc.projection.bias.detach().numpy().copy()),
+        "bn1_mean": jnp.array(sc.bn1.running_mean.numpy().copy()),
+        "bn1_var": jnp.array(sc.bn1.running_var.numpy().copy()),
+        "bn2_mean": jnp.array(sc.bn2.running_mean.numpy().copy()),
+        "bn2_var": jnp.array(sc.bn2.running_var.numpy().copy()),
+    }
+    if sc.convolution.bias is not None:
+        scorer["conv_b"] = jnp.array(
+            sc.convolution.bias.detach().numpy().copy()
+        )
+    new = copy_tables(ref_model, params)
+    new["scorer"] = scorer
+    return new
+
+
+CONVE_OPTS = {
+    "conve.entity_embedder.dim": 32,
+    "conve.relation_embedder.dim": 32,
+    "conve.feature_map_dropout": 0.0,
+    "conve.projection_dropout": 0.0,
+    "conve.entity_embedder.dropout": 0.0,
+    "conve.relation_embedder.dropout": 0.0,
+}
+
+
+def test_conve_score_parity_and_bn_stats():
+    """ConvE golden test: eval-mode scores match; a train-mode forward
+    produces the same batch statistics and EMA-updated running stats as the
+    torch BatchNorm modules (reference conve.py:61-92)."""
+    ref_model, _, ref_dataset = make_ref_model("conve", CONVE_OPTS)
+    our_model, params = make_our_model("conve", CONVE_OPTS)
+    params = _copy_conve(ref_model, params)
+
+    E, R = ref_dataset.num_entities(), ref_dataset.num_relations()
+    su, pu = np.repeat(np.arange(E), R), np.tile(np.arange(R), E)
+    with torch.no_grad():
+        ref_sp = ref_model.score_sp(
+            torch.from_numpy(su), torch.from_numpy(pu)
+        ).numpy()
+    our_sp = np.asarray(
+        our_model.score_sp(params, jnp.asarray(su), jnp.asarray(pu))
+    )
+    assert np.allclose(ref_sp, our_sp, atol=1e-4, rtol=1e-3), (
+        np.abs(ref_sp - our_sp).max()
+    )
+
+    # train-mode forward: running stats must update identically
+    from kge_tpu.models import Ctx
+
+    ref_model.train()
+    s = torch.arange(E, dtype=torch.long)
+    p = torch.from_numpy(np.arange(E) % R)
+    ref_model.score_sp(s, p)
+    ref_bn1_mean = ref_model._scorer.bn1.running_mean.detach().numpy()
+    ref_bn2_var = ref_model._scorer.bn2.running_var.detach().numpy()
+
+    stats = {}
+    ctx = Ctx(train=True, rng=jax.random.PRNGKey(0), stats=stats)
+    our_model.score_sp(
+        params, jnp.asarray(s.numpy()), jnp.asarray(p.numpy()), ctx=ctx
+    )
+    np.testing.assert_allclose(
+        ref_bn1_mean, np.asarray(stats["bn1_mean"]), atol=1e-5, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        ref_bn2_var, np.asarray(stats["bn2_var"]), atol=1e-4, rtol=1e-3
+    )
+
+
+def test_conve_gradient_parity():
+    """Scorer-parameter (conv, projection) and table gradients of a summed
+    eval-mode score batch must match."""
+    ref_model, _, ref_dataset = make_ref_model("conve", CONVE_OPTS)
+    our_model, params = make_our_model("conve", CONVE_OPTS)
+    params = _copy_conve(ref_model, params)
+
+    E, R = ref_dataset.num_entities(), ref_dataset.num_relations()
+    su, pu = np.repeat(np.arange(E), R), np.tile(np.arange(R), E)
+
+    ref_model.zero_grad()
+    ref_model.score_sp(torch.from_numpy(su), torch.from_numpy(pu)).sum().backward()
+    ref = {
+        "conv_w": ref_model._scorer.convolution.weight.grad.numpy(),
+        "proj_w": ref_model._scorer.projection.weight.grad.numpy(),
+        "proj_b": ref_model._scorer.projection.bias.grad.numpy(),
+        "ent": ref_model.get_s_embedder()._embeddings.weight.grad.numpy(),
+        "rel": ref_model.get_p_embedder()._embeddings.weight.grad.numpy(),
+    }
+
+    def our_sum(p_):
+        return jnp.sum(
+            our_model.score_sp(p_, jnp.asarray(su), jnp.asarray(pu))
+        )
+
+    grads = jax.grad(our_sum)(params)
+    np.testing.assert_allclose(
+        ref["conv_w"], np.asarray(grads["scorer"]["conv_w"]),
+        atol=1e-4, rtol=1e-3,
+    )
+    np.testing.assert_allclose(
+        ref["proj_w"], np.asarray(grads["scorer"]["proj_w"]),
+        atol=1e-4, rtol=1e-3,
+    )
+    np.testing.assert_allclose(
+        ref["proj_b"], np.asarray(grads["scorer"]["proj_b"]),
+        atol=1e-4, rtol=1e-3,
+    )
+    np.testing.assert_allclose(
+        ref["ent"], np.asarray(grads["entity_embedder"]["embeddings"]),
+        atol=1e-4, rtol=1e-3,
+    )
+    np.testing.assert_allclose(
+        ref["rel"], np.asarray(grads["relation_embedder"]["embeddings"]),
+        atol=1e-4, rtol=1e-3,
+    )
+
+
+TRANSFORMER_OPTS = {
+    "transformer.entity_embedder.dim": 16,
+    "transformer.relation_embedder.dim": 16,
+    "transformer.encoder.nhead": 4,
+    "transformer.encoder.dim_feedforward": 32,
+    "transformer.encoder.num_layers": 2,
+    "transformer.encoder.dropout": 0.0,
+    "transformer.entity_embedder.dropout": 0.0,
+    "transformer.relation_embedder.dropout": 0.0,
+}
+
+
+def test_transformer_score_parity():
+    """Transformer ("no context" HittER) golden test against the torch
+    TransformerEncoder (reference transformer.py:25-105)."""
+    ref_model, _, ref_dataset = make_ref_model("transformer", TRANSFORMER_OPTS)
+    our_model, params = make_our_model("transformer", TRANSFORMER_OPTS)
+    params = copy_tables(ref_model, params)
+
+    sc = ref_model._scorer
+    scorer = {
+        "cls": jnp.asarray(sc.cls_emb.detach().numpy()),
+        "sub_type": jnp.asarray(sc.sub_type_emb.detach().numpy()),
+        "rel_type": jnp.asarray(sc.rel_type_emb.detach().numpy()),
+        "layers": [],
+    }
+    for layer in sc.encoder.layers:
+        scorer["layers"].append({
+            "in_proj_w": jnp.asarray(layer.self_attn.in_proj_weight.detach().numpy()),
+            "in_proj_b": jnp.asarray(layer.self_attn.in_proj_bias.detach().numpy()),
+            "out_proj_w": jnp.asarray(layer.self_attn.out_proj.weight.detach().numpy()),
+            "out_proj_b": jnp.asarray(layer.self_attn.out_proj.bias.detach().numpy()),
+            "linear1_w": jnp.asarray(layer.linear1.weight.detach().numpy()),
+            "linear1_b": jnp.asarray(layer.linear1.bias.detach().numpy()),
+            "linear2_w": jnp.asarray(layer.linear2.weight.detach().numpy()),
+            "linear2_b": jnp.asarray(layer.linear2.bias.detach().numpy()),
+            "norm1_scale": jnp.asarray(layer.norm1.weight.detach().numpy()),
+            "norm1_bias": jnp.asarray(layer.norm1.bias.detach().numpy()),
+            "norm2_scale": jnp.asarray(layer.norm2.weight.detach().numpy()),
+            "norm2_bias": jnp.asarray(layer.norm2.bias.detach().numpy()),
+        })
+    params["scorer"] = scorer
+
+    E, R = ref_dataset.num_entities(), ref_dataset.num_relations()
+    su, pu = np.repeat(np.arange(E), R), np.tile(np.arange(R), E)
+    with torch.no_grad():
+        ref_sp = ref_model.score_sp(
+            torch.from_numpy(su), torch.from_numpy(pu)
+        ).numpy()
+    our_sp = np.asarray(
+        our_model.score_sp(params, jnp.asarray(su), jnp.asarray(pu))
+    )
+    assert np.allclose(ref_sp, our_sp, atol=1e-4, rtol=1e-3), (
+        np.abs(ref_sp - our_sp).max()
+    )
+
+
+def test_relational_tucker3_score_parity():
+    """RelationalTucker3: RESCAL scoring through a projected (Tucker3)
+    relation embedder (reference relational_tucker3.py,
+    tucker3_relation_embedder.py)."""
+    opts = {
+        "relational_tucker3.entity_embedder.dim": 8,
+        "relational_tucker3.relation_embedder.base_embedder.dim": 6,
+        "relational_tucker3.entity_embedder.dropout": 0.0,
+        "relational_tucker3.relation_embedder.dropout": 0.0,
+    }
+    ref_model, _, ref_dataset = make_ref_model("relational_tucker3", opts)
+    our_model, params = make_our_model("relational_tucker3", opts)
+
+    ent = ref_model.get_s_embedder()._embeddings.weight.detach().numpy()
+    ref_rel = ref_model.get_p_embedder()
+    rel_base = ref_rel.base_embedder._embeddings.weight.detach().numpy()
+    projection = ref_rel.projection.weight.detach().numpy()
+    params = dict(params)
+    params["entity_embedder"] = {
+        **params["entity_embedder"], "embeddings": jnp.asarray(ent)
+    }
+    params["relation_embedder"] = {
+        **params["relation_embedder"],
+        "base": {
+            **params["relation_embedder"]["base"],
+            "embeddings": jnp.asarray(rel_base),
+        },
+        "projection": jnp.asarray(projection),
+    }
+
+    E, R = ref_dataset.num_entities(), ref_dataset.num_relations()
+    s, p, o = np.meshgrid(np.arange(E), np.arange(R), np.arange(E), indexing="ij")
+    s, p, o = s.reshape(-1), p.reshape(-1), o.reshape(-1)
+    with torch.no_grad():
+        ref_spo = ref_model.score_spo(
+            torch.from_numpy(s.astype(np.int64)),
+            torch.from_numpy(p.astype(np.int64)),
+            torch.from_numpy(o.astype(np.int64)),
+        ).numpy()
+    our_spo = np.asarray(our_model.score_spo(
+        params, jnp.asarray(s), jnp.asarray(p), jnp.asarray(o)
+    ))
+    assert np.allclose(ref_spo, our_spo, atol=1e-4, rtol=1e-3), (
+        np.abs(ref_spo - our_spo).max()
+    )
+
+
+def test_reciprocal_wrapper_score_parity():
+    """Reciprocal relations wrapper: score_po must route through the base
+    model's score_sp with p+|R| (reference
+    reciprocal_relations_model.py:85-91) — golden against the reference
+    wrapper wrapping ComplEx."""
+    opts = {"reciprocal_relations_model.base_model.type": "complex"}
+    ref_model, _, ref_dataset = make_ref_model("reciprocal_relations_model", opts)
+    our_model, params = make_our_model("reciprocal_relations_model", opts)
+    params = copy_tables(ref_model, params)
+
+    E, R = ref_dataset.num_entities(), ref_dataset.num_relations()
+    su, pu = np.repeat(np.arange(E), R), np.tile(np.arange(R), E)
+    pu2, ou2 = np.repeat(np.arange(R), E), np.tile(np.arange(E), R)
+    with torch.no_grad():
+        ref_sp = ref_model.score_sp(
+            torch.from_numpy(su), torch.from_numpy(pu)
+        ).numpy()
+        ref_po = ref_model.score_po(
+            torch.from_numpy(pu2), torch.from_numpy(ou2)
+        ).numpy()
+        ref_spo = ref_model.score_spo(
+            torch.from_numpy(su), torch.from_numpy(pu),
+            torch.from_numpy((np.arange(E * R) % E).astype(np.int64)),
+            direction="o",
+        ).numpy()
+    our_sp = np.asarray(our_model.score_sp(params, jnp.asarray(su), jnp.asarray(pu)))
+    our_po = np.asarray(our_model.score_po(params, jnp.asarray(pu2), jnp.asarray(ou2)))
+    our_spo = np.asarray(our_model.score_spo(
+        params, jnp.asarray(su), jnp.asarray(pu),
+        jnp.asarray(np.arange(E * R) % E), direction="o",
+    ))
+    assert np.allclose(ref_sp, our_sp, atol=ATOL, rtol=RTOL)
+    assert np.allclose(ref_po, our_po, atol=ATOL, rtol=RTOL)
+    assert np.allclose(ref_spo, our_spo, atol=ATOL, rtol=RTOL)
