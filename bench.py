@@ -1,22 +1,45 @@
-"""Benchmark: negative-sampling training throughput on one chip.
+"""Benchmark: the BASELINE.json workload set on one chip.
 
-Trains ComplEx d=512 with 128 shared negatives on a synthetic FB15k-237-shaped
-dataset (14541 entities / 237 relations / 272k train triples) and reports
-triples/sec including host-side batch preparation.
+Measures, in priority order within a wall-clock budget:
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-``vs_baseline`` is measured against 1e5 triples/s — a representative LibKGE
-GPU figure for this configuration (the reference publishes no throughput
-numbers; BASELINE.md targets >=10x a GPU baseline).
+1. ``negsamp_shared``  — ComplEx d=512, 128 shared negatives (headline;
+   the reference's recommended fast configuration)
+2. ``negsamp_perrow``  — 128 per-row negatives via the pooled sampler
+   (exact per-row marginals; see negative_sampling.implementation "pool")
+3. ``negsamp_perrow_exact`` — 128 per-row negatives, implementation "all"
+   (fully independent rows, the reference's exact semantics)
+4. ``kvsall``          — full-vocabulary KvsAll queries/s
+5. ``eval_filtered``   — filtered entity-ranking triples/s
+
+All on a synthetic FB15k-237-shaped dataset (14541 entities / 237
+relations / 272k train triples). Prints ONE JSON line with the headline
+metric plus an ``extra`` dict holding the remaining workloads.
+``vs_baseline`` is measured against 1e5 triples/s — a representative
+LibKGE GPU figure (the reference publishes no throughput numbers;
+BASELINE.md targets >=10x a GPU baseline).
+
+Robustness against driver timeouts (round-2 lesson: BENCH_r02 recorded
+rc=124 and no number): a persistent XLA compilation cache under
+$KGE_CACHE (default ~/.cache/kge_tpu/jax) makes warmup compiles ~free on
+re-runs, stages are skipped when the remaining budget (KGE_BENCH_BUDGET,
+default 540s) is too small, and a SIGTERM handler prints the JSON line
+with whatever has been measured before the process dies.
 """
 
 import json
 import os
+import signal
 import sys
-import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+CACHE_ROOT = os.environ.get(
+    "KGE_CACHE", os.path.expanduser("~/.cache/kge_tpu")
+)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(CACHE_ROOT, "jax"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+os.makedirs(os.path.join(CACHE_ROOT, "jax"), exist_ok=True)
 
 import numpy as np
 
@@ -25,29 +48,63 @@ BASELINE_TRIPLES_PER_SEC = 1.0e5
 NUM_ENTITIES = 14541
 NUM_RELATIONS = 237
 NUM_TRAIN = 272115
+NUM_VALID = 5000
 DIM = 512
 BATCH_SIZE = 8192
 NUM_NEG = 128
 
+DEADLINE = time.time() + float(os.environ.get("KGE_BENCH_BUDGET", "540"))
+RESULTS = {}
 
-def build_job(overrides=()):
+
+def remaining():
+    return DEADLINE - time.time()
+
+
+def emit_and_exit(signum=None, frame=None):
+    print(json.dumps(result_line()), flush=True)
+    if signum is not None:
+        sys.stderr.write(f"bench: signal {signum}, emitted partial results\n")
+        os._exit(0)
+
+
+def result_line():
+    headline = RESULTS.get("negsamp_shared")
+    extra = {k: v for k, v in RESULTS.items() if k != "negsamp_shared"}
+    return {
+        "metric": "negsamp_triples_per_sec_per_chip",
+        "value": round(headline, 1) if headline else None,
+        "unit": "triples/s",
+        "vs_baseline": (
+            round(headline / BASELINE_TRIPLES_PER_SEC, 3) if headline else None
+        ),
+        "extra": {k: round(v, 1) for k, v in extra.items()},
+    }
+
+
+def bench_dataset_folder():
+    """Synthetic dataset persisted under the cache root so preprocessing
+    and index caches survive across invocations."""
     from __graft_entry__ import _write_synthetic_dataset
-    from kge_tpu import Config, Dataset
-    from kge_tpu.job import TrainingJob
 
-    folder = _write_synthetic_dataset(
-        os.path.join(tempfile.mkdtemp(prefix="kge-bench-"), "bench_fb15k237"),
-        num_entities=NUM_ENTITIES, num_relations=NUM_RELATIONS,
-        num_train=NUM_TRAIN,
-    )
+    folder = os.path.join(CACHE_ROOT, "bench_data", "bench_fb15k237")
+    if not os.path.isfile(os.path.join(folder, "dataset.yaml")):
+        _write_synthetic_dataset(
+            folder, num_entities=NUM_ENTITIES, num_relations=NUM_RELATIONS,
+            num_train=NUM_TRAIN, num_valid=NUM_VALID, num_test=64,
+        )
+    return folder
+
+
+def build_config(overrides=()):
+    from kge_tpu import Config
+
     config = Config(folder=None)
     config.set("console.quiet", True)
     config.load_options({"model": "complex"})
     config.set("dataset.name", "bench_fb15k237")
     config.set("train.type", "negative_sampling")
     config.set("negative_sampling.num_samples.s", NUM_NEG)
-    config.set("negative_sampling.shared", True)
-    config.set("negative_sampling.shared_type", "default")
     config.set("train.batch_size", BATCH_SIZE)
     config.set("train.optimizer.default.type", "Adagrad")
     config.set("train.optimizer.default.args.lr", 0.1)
@@ -57,44 +114,133 @@ def build_job(overrides=()):
     config.set("random_seed.default", 0)
     for key, value in overrides:
         config.set(key, value, create=True)
-    dataset = Dataset.create(config, folder=str(folder))
+    return config
+
+
+def build_job(overrides=()):
+    from kge_tpu import Dataset
+    from kge_tpu.job import TrainingJob
+
+    folder = bench_dataset_folder()
+    config = build_config(overrides)
+    dataset = Dataset.create(config, folder=folder)
     return TrainingJob.create(config, dataset)
 
 
-def main():
-    job = build_job()
+def timed_epoch_groups(job, epochs):
+    """(warmup_seconds, triples_per_second) over one warm + one timed group
+    of the same size (the group executable is cached per size)."""
+    t0 = time.time()
+    job.run_epoch_group(epochs)
+    warmup = time.time() - t0
+    t0 = time.time()
+    traces = job.run_epoch_group(epochs)
+    dt = time.time() - t0
+    return warmup, traces[-1]["size"] * epochs / dt, traces[-1]
+
+
+def stage_negsamp(name, overrides, epochs=4):
+    job = build_job(overrides)
     job._prepare()
     job._is_prepared = True
-
-    # warmup: one group compiles the fused multi-epoch path
-    NUM_EPOCHS = 10
-    t0 = time.time()
-    job.run_epoch_group(NUM_EPOCHS)
-    compile_time = time.time() - t0
-
-    # timed region: a group of chained epochs, one dispatch + one fetch
-    # (steady-state training; amortizes the per-dispatch link latency that
-    # real local TPU hosts do not pay)
-    t0 = time.time()
-    traces = job.run_epoch_group(NUM_EPOCHS)
-    group_time = time.time() - t0
-    trace = traces[-1]
-    epoch_time = group_time / NUM_EPOCHS
-    triples_per_sec = trace["size"] * NUM_EPOCHS / group_time
-
+    warmup, tps, trace = timed_epoch_groups(job, epochs)
+    RESULTS[name] = tps
     sys.stderr.write(
-        f"bench: {trace['size']} triples in {epoch_time:.2f}s "
-        f"(prepare {trace['prepare_time']:.2f}s, "
-        f"compile+warmup {compile_time:.1f}s, "
-        f"avg_loss {trace['avg_loss']:.4f}, scanned="
-        f"{trace.get('scanned', False)})\n"
+        f"bench[{name}]: {tps/1e6:.2f}M triples/s "
+        f"(warmup {warmup:.0f}s, avg_loss {trace['avg_loss']:.4f}, "
+        f"scanned={trace.get('scanned', False)})\n"
     )
-    print(json.dumps({
-        "metric": "negsamp_triples_per_sec_per_chip",
-        "value": round(triples_per_sec, 1),
-        "unit": "triples/s",
-        "vs_baseline": round(triples_per_sec / BASELINE_TRIPLES_PER_SEC, 3),
-    }))
+
+
+def stage_kvsall():
+    job = build_job((
+        ("train.type", "KvsAll"),
+        ("train.batch_size", 512),
+    ))
+    job._prepare()
+    job._is_prepared = True
+    warmup, qps, trace = timed_epoch_groups(job, 2)
+    RESULTS["kvsall_queries_per_sec"] = qps
+    sys.stderr.write(
+        f"bench[kvsall]: {qps/1e3:.0f}k queries/s (warmup {warmup:.0f}s, "
+        f"avg_loss {trace['avg_loss']:.4f})\n"
+    )
+
+
+def stage_eval():
+    from kge_tpu import Dataset
+    from kge_tpu.job import EvaluationJob
+    from kge_tpu.models import KgeModel
+    import jax
+
+    folder = bench_dataset_folder()
+    config = build_config((("eval.batch_size", 256),))
+    config.set("job.type", "eval")
+    config.set("eval.split", "valid")
+    dataset = Dataset.create(config, folder=folder)
+    model = KgeModel.create(config, dataset)
+    job = EvaluationJob.create(config, dataset, model=model)
+    job.model_params = model.init_params(jax.random.PRNGKey(0))
+    job.epoch = 0
+    t0 = time.time()
+    job._evaluate()  # compile + first run
+    warmup = time.time() - t0
+    t0 = time.time()
+    trace = job._evaluate()
+    dt = time.time() - t0
+    tps = NUM_VALID / dt
+    RESULTS["eval_filtered_triples_per_sec"] = tps
+    sys.stderr.write(
+        f"bench[eval]: {tps/1e3:.1f}k triples/s (warmup {warmup:.0f}s, "
+        f"mrr_filt {trace.get('mean_reciprocal_rank_filtered', -1):.4f})\n"
+    )
+
+
+def main():
+    signal.signal(signal.SIGTERM, emit_and_exit)
+    signal.signal(signal.SIGINT, emit_and_exit)
+
+    # the env vars above cover forked workers; config.update is the form
+    # verified to engage the persistent cache on the axon platform
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.join(CACHE_ROOT, "jax")
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+    # (stage fn, rough cold-compile allowance in seconds)
+    stages = [
+        ("negsamp_shared", lambda: stage_negsamp(
+            "negsamp_shared",
+            (("negative_sampling.shared", True),
+             ("negative_sampling.shared_type", "default")),
+        ), 60),
+        ("negsamp_perrow", lambda: stage_negsamp(
+            "negsamp_perrow_triples_per_sec",
+            (("negative_sampling.implementation", "pool"),),
+        ), 50),
+        ("kvsall", stage_kvsall, 50),
+        ("eval", stage_eval, 50),
+        ("negsamp_perrow_exact", lambda: stage_negsamp(
+            "negsamp_perrow_exact_triples_per_sec",
+            (("negative_sampling.implementation", "all"),),
+            epochs=2,
+        ), 80),
+    ]
+    for name, fn, floor in stages:
+        if remaining() < floor:
+            sys.stderr.write(
+                f"bench: skipping {name} ({remaining():.0f}s left)\n"
+            )
+            continue
+        try:
+            fn()
+        except Exception as e:  # a failed stage must not kill the line
+            sys.stderr.write(f"bench: stage {name} failed: {e!r}\n")
+
+    emit_and_exit()
 
 
 if __name__ == "__main__":

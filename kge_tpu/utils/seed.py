@@ -9,6 +9,7 @@ randomness is threaded from.
 from __future__ import annotations
 
 import hashlib
+import os
 import random
 
 import numpy as np
@@ -24,7 +25,8 @@ def _derived_seed(base: int, name: str) -> int:
 def apply_device_config(config: Config) -> None:
     """Honor ``job.device``: 'cpu' forces the host backend (useful for tests
     and tiny datasets), 'auto' keeps the default JAX platform (TPU when
-    present)."""
+    present). Also engages the persistent XLA compilation cache
+    (``job.compile_cache``) so repeated runs skip recompiles."""
     device = config.get("job.device")
     if device == "cpu":
         import jax
@@ -33,6 +35,23 @@ def apply_device_config(config: Config) -> None:
             jax.config.update("jax_platforms", "cpu")
         except RuntimeError:
             pass  # backend already initialized; leave as-is
+    if config.get("job.compile_cache"):
+        import jax
+
+        cache_dir = os.path.join(
+            os.environ.get(
+                "KGE_CACHE", os.path.expanduser("~/.cache/kge_tpu")
+            ),
+            "jax",
+        )
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 0.0
+            )
+        except (RuntimeError, OSError) as e:
+            config.log(f"compile cache disabled: {e}", echo=False)
 
 
 def seed_from_config(config: Config) -> int:
