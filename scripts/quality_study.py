@@ -1,0 +1,262 @@
+"""Cross-framework convergence study: train BOTH the reference (LibKGE,
+torch CPU) and kge_tpu to convergence on the same learnable synthetic
+knowledge graph with the same recipe, and compare filtered test MRR.
+
+Rationale: the BASELINE quality gate asks for FB15k-237 MRR within 0.002
+of LibKGE, but this environment has no network egress, so the published
+datasets cannot be downloaded. This study is the closest achievable
+evidence: a planted-factorization graph (a frozen random ComplEx
+"teacher" generates plausible triples) gives a learnable ranking task on
+which full 40-epoch trajectories — optimizer state, regularization, and
+sampling distributions compounding — must land both frameworks at the
+same quality. Single-step score/gradient parity is covered separately by
+tests/test_parity_libkge.py.
+
+Usage:  python scripts/quality_study.py [--epochs 40] [--dim 128]
+Writes QUALITY.md at the repo root.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+import numpy as np
+
+E, R = 500, 10
+N_TRAIN, N_VALID, N_TEST = 30000, 1500, 1500
+TEACHER_DIM = 8
+
+
+def generate_dataset(folder, seed=0):
+    """Plant a frozen random ComplEx teacher and sample its top-scoring
+    completions: for random (s, p), o is drawn from the teacher's softmax
+    over a random candidate subset. Yields a graph with learnable
+    structure (filtered MRR well above random for a trained model)."""
+    rng = np.random.default_rng(seed)
+    d = TEACHER_DIM
+    ent = rng.normal(size=(E, 2 * d)).astype(np.float32)
+    rel = rng.normal(size=(R, 2 * d)).astype(np.float32)
+
+    def scores(s_ids, p_ids, cand):  # [n, c]
+        s_re, s_im = ent[s_ids, :d], ent[s_ids, d:]
+        p_re, p_im = rel[p_ids, :d], rel[p_ids, d:]
+        u = np.concatenate([s_re * p_re - s_im * p_im,
+                            s_re * p_im + s_im * p_re], axis=1)
+        return np.einsum("nd,ncd->nc", u, ent[cand])
+
+    total = N_TRAIN + N_VALID + N_TEST
+    step = 5000
+    c = 256  # candidate subset per query
+    chunks = []
+    seen = set()
+    while sum(len(ch) for ch in chunks) < total:
+        s = rng.integers(0, E, step)
+        p = rng.integers(0, R, step)
+        cand = rng.integers(0, E, (step, c))
+        sc = scores(s, p, cand) * 2.0
+        sc -= sc.max(axis=1, keepdims=True)
+        prob = np.exp(sc)
+        prob /= prob.sum(axis=1, keepdims=True)
+        pick = (prob.cumsum(axis=1) > rng.random((step, 1))).argmax(axis=1)
+        drawn = np.stack([s, p, cand[np.arange(step), pick]], axis=1)
+        fresh = [t for t in drawn.tolist() if tuple(t) not in seen]
+        seen.update(map(tuple, fresh))
+        chunks.append(np.asarray(fresh, dtype=np.int64))
+    triples = np.concatenate(chunks)[:total]
+    rng.shuffle(triples)
+    # ensure every entity/relation appears in train
+    triples[:E, 0] = np.arange(E)
+    triples[:R, 1] = np.arange(R)
+    train = triples[: N_TRAIN]
+    valid = triples[N_TRAIN : N_TRAIN + N_VALID]
+    test = triples[N_TRAIN + N_VALID : N_TRAIN + N_VALID + N_TEST]
+
+    os.makedirs(folder, exist_ok=True)
+    for name, arr in (("train", train), ("valid", valid), ("test", test)):
+        np.savetxt(os.path.join(folder, f"{name}.del"), arr, fmt="%d",
+                   delimiter="\t")
+    with open(os.path.join(folder, "entity_ids.del"), "w") as f:
+        for i in range(E):
+            f.write(f"{i}\te{i}\n")
+    with open(os.path.join(folder, "relation_ids.del"), "w") as f:
+        for i in range(R):
+            f.write(f"{i}\tr{i}\n")
+    with open(os.path.join(folder, "dataset.yaml"), "w") as f:
+        f.write(
+            f"dataset:\n  name: {os.path.basename(folder)}\n"
+            f"  num_entities: {E}\n  num_relations: {R}\n"
+        )
+    return folder
+
+
+RECIPE = {
+    "train.type": "1vsAll",
+    "train.loss": "kl",
+    "train.batch_size": 512,
+    "train.optimizer.default.type": "Adagrad",
+    "train.optimizer.default.args.lr": 0.2,
+    "valid.every": 0,
+    "console.quiet": True,
+}
+
+
+def run_reference(folder, epochs, dim, workdir):
+    sys.path.insert(0, "/root/reference")
+    from libkge_stub import install
+
+    install()
+    import torch
+    from kge import Config as RefConfig, Dataset as RefDataset
+    from kge.job import EvaluationJob as RefEvaluationJob, Job as RefJob
+
+    torch.manual_seed(11)
+    config = RefConfig()
+    config.set("console.quiet", True)
+    config.set("job.device", "cpu")
+    config.set("model", "complex")
+    config._import("complex")
+    config.set("dataset.name", os.path.basename(folder))
+    for k, v in RECIPE.items():
+        config.set(k, v)
+    config.set("lookup_embedder.dim", dim)
+    config.set("train.max_epochs", epochs)
+    config.set("eval.split", "test")
+    config.folder = os.path.join(workdir, "ref_exp")
+    config.init_folder()
+    dataset = RefDataset.create(config, folder=folder)
+    job = RefJob.create(config, dataset)
+    t0 = time.time()
+    job.run()
+    train_time = time.time() - t0
+    eval_job = RefEvaluationJob.create(
+        config, dataset, model=job.model
+    )
+    trace = eval_job.run()
+    return trace, train_time
+
+
+def run_ours(folder, epochs, dim, workdir):
+    from kge_tpu import Config, Dataset
+    from kge_tpu.job import EvaluationJob, TrainingJob
+
+    config = Config()
+    config.set("console.quiet", True)
+    config.set("job.device", "cpu")
+    config.load_options({"model": "complex"})
+    config.set("dataset.name", os.path.basename(folder))
+    for k, v in RECIPE.items():
+        config.set(k, v)
+    config.set("lookup_embedder.dim", dim)
+    config.set("train.max_epochs", epochs)
+    config.set("eval.split", "test")
+    config.set("random_seed.default", 11)
+    config.folder = os.path.join(workdir, "our_exp")
+    config.init_folder()
+    from kge_tpu.utils.seed import apply_device_config, seed_from_config
+
+    apply_device_config(config)
+    seed_from_config(config)
+    dataset = Dataset.create(config, folder=folder)
+    job = TrainingJob.create(config, dataset)
+    t0 = time.time()
+    if not job._is_prepared:
+        job._prepare()
+        job._is_prepared = True
+    traces = job.run_epoch_group(epochs)
+    train_time = time.time() - t0
+    eval_conf = config.clone()
+    eval_conf.set("job.type", "eval")
+    eval_job = EvaluationJob.create(eval_conf, dataset, model=job.model)
+    eval_job.model_params = job.model_params
+    eval_job.epoch = epochs
+    trace = eval_job._evaluate()
+    return trace, train_time, traces
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=40)
+    ap.add_argument("--dim", type=int, default=128)
+    ap.add_argument("--workdir", default="/tmp/kge_quality")
+    ap.add_argument("--skip-reference", action="store_true")
+    args = ap.parse_args()
+
+    os.makedirs(args.workdir, exist_ok=True)
+    folder = os.path.join(args.workdir, "quality_synth")
+    generate_dataset(folder)
+    print("dataset generated", flush=True)
+
+    our_trace, our_time, epoch_traces = run_ours(
+        folder, args.epochs, args.dim, args.workdir
+    )
+    print(
+        f"ours: MRR_filt {our_trace['mean_reciprocal_rank_filtered']:.4f} "
+        f"in {our_time:.0f}s", flush=True,
+    )
+
+    if args.skip_reference:
+        return
+    ref_trace, ref_time = run_reference(
+        folder, args.epochs, args.dim, args.workdir
+    )
+    print(
+        f"reference: MRR_filt {ref_trace['mean_reciprocal_rank_filtered']:.4f} "
+        f"in {ref_time:.0f}s", flush=True,
+    )
+
+    keys = ["mean_reciprocal_rank_filtered", "mean_reciprocal_rank",
+            "hits_at_1_filtered", "hits_at_3_filtered", "hits_at_10_filtered"]
+    rows = "\n".join(
+        f"| {k} | {ref_trace[k]:.4f} | {our_trace[k]:.4f} | "
+        f"{abs(ref_trace[k] - our_trace[k]):.4f} |"
+        for k in keys
+    )
+    delta = abs(
+        ref_trace["mean_reciprocal_rank_filtered"]
+        - our_trace["mean_reciprocal_rank_filtered"]
+    )
+    with open(os.path.join(REPO, "QUALITY.md"), "w") as f:
+        f.write(f"""# Quality reproduction study
+
+**Goal.** BASELINE.json gates on "ComplEx-d512 on FB15k-237: filtered MRR
+within 0.002 of LibKGE". This environment has **no network egress** (DNS
+resolution fails), so FB15k-237/WN18RR cannot be downloaded. This study is
+the closest achievable substitute: both frameworks train **to convergence**
+on the same learnable synthetic knowledge graph with the same recipe, so
+any systematic training-dynamics divergence (optimizer-state drift,
+regularization, sampling) would surface as a quality gap. Single-step
+score/gradient/metric parity against the actual reference is separately
+enforced by `tests/test_parity_libkge.py` / `test_parity_jobs.py` (allclose
+at 1e-5..1e-4, exact metric equality for ranking).
+
+**Dataset.** Planted-factorization graph: a frozen random ComplEx teacher
+(d={TEACHER_DIM}) scores candidate objects for random (s, p) queries; objects are
+sampled from the teacher's softmax. {E} entities / {R} relations /
+{N_TRAIN} train, {N_VALID} valid, {N_TEST} test triples. Reproduce with
+`python scripts/quality_study.py` (same fixed seeds).
+
+**Recipe (identical for both).** ComplEx d={args.dim}, 1vsAll, KL loss,
+Adagrad lr 0.2, batch 512, {args.epochs} epochs, no early stopping; filtered
+entity ranking on test (each framework's own eval pipeline — they agree to
+1e-9 on shared weights, see `test_entity_ranking_parity`).
+
+| metric (test) | LibKGE (torch CPU) | kge_tpu | abs diff |
+|---|---|---|---|
+{rows}
+
+Headline: **filtered MRR diff = {delta:.4f}** (gate analogue: 0.002; random
+-guess MRR on this graph is ~{(1/E)*np.log(E):.4f}). Train time:
+reference {ref_time:.0f}s vs kge_tpu {our_time:.0f}s on the same CPU host.
+
+Last-epoch train loss (ours): {epoch_traces[-1]['avg_loss']:.4f}.
+""")
+    print(f"QUALITY.md written (diff {delta:.4f})", flush=True)
+
+
+if __name__ == "__main__":
+    main()
