@@ -287,6 +287,22 @@ class TrainingJob(TrainingOrEvaluationJob):
         )
         pallas_ops.set_gather_mode("pallas" if use_pallas else "xla")
 
+        # edge partitioning over the data axis (scanned epochs): every data
+        # shard owns a contiguous 1/D of the triples and shuffles within it
+        mode = self.config.check(
+            "parallel.partition_edges", ["auto", "always", "never"]
+        )
+        from kge_tpu.parallel import distributed
+
+        self._partition_edges = (
+            self.device_ctx.active
+            and self.device_ctx.mesh.shape["data"] > 1
+            and (
+                mode == "always"
+                or (mode == "auto" and distributed.is_multiprocess())
+            )
+        )
+
         self._prepare_data()
         self._build_step_fn()
 
@@ -538,11 +554,104 @@ class TrainingJob(TrainingOrEvaluationJob):
             traces.append(self._finalize_epoch_scanned(fetched, meta))
         return traces
 
+    def _ensure_epoch_scan_partitioned(self, data, size: int, bs: int):
+        """Edge-partitioned scan layout: data shard s owns a contiguous
+        ``1/D`` of the training triples as rows [s, :, :] of a
+        ``(D, L, 3)`` array sharded ``P("data")``; each epoch every shard
+        permutes within itself (keys derived from the device-side epoch
+        key, so the trajectory is identical for any process layout) and
+        every global batch stripes ``bs/D`` rows from each shard. Under
+        multi-process execution the array is assembled with
+        ``make_array_from_callback`` — each host materializes only the
+        rows its own devices hold."""
+        D = self.device_ctx.mesh.shape["data"]
+        bsl = bs // D
+        base = math.ceil(size / D)
+        nb = math.ceil(base / bsl)
+        L = nb * bsl
+        shard_sizes = np.minimum(
+            np.maximum(size - np.arange(D) * base, 0), base
+        )
+
+        prepare_start = time.time()
+        if not hasattr(self, "_device_epoch_triples"):
+            from jax.sharding import NamedSharding, PartitionSpec as P_
+
+            tri = data["triples_flat"]
+            sharding = NamedSharding(
+                self.device_ctx.mesh, P_("data", None, None)
+            )
+            dummy = tri[-1]
+
+            def shard_rows(index):
+                out = []
+                for s in range(*index[0].indices(D)):
+                    rows = np.broadcast_to(dummy, (L, 3)).copy()
+                    n_s = int(shard_sizes[s])
+                    rows[:n_s] = tri[s * base : s * base + n_s]
+                    out.append(rows)
+                block = np.stack(out).astype(np.int32)
+                return block[(slice(None),) + tuple(index[1:])]
+
+            self._device_epoch_triples = jax.make_array_from_callback(
+                (D, L, 3), sharding, shard_rows
+            )
+        prepare_time = time.time() - prepare_start
+
+        if not hasattr(self, "_epoch_fn"):
+            raw_step = self._raw_step
+            sizes = jnp.asarray(shard_sizes)
+
+            def epoch_fn(params, opt_state, triples_all, rng, lr):
+                perm_key, scan_key = jax.random.split(rng)
+                shard_keys = jax.random.split(perm_key, D)
+                perms = jax.vmap(
+                    lambda k: jax.random.permutation(k, L)
+                )(shard_keys)                                    # (D, L)
+                mask_all = (perms < sizes[:, None]).astype(jnp.float32)
+                idx = jnp.moveaxis(perms.reshape(D, nb, bsl), 1, 0)
+                msk = jnp.moveaxis(mask_all.reshape(D, nb, bsl), 1, 0)
+
+                def body(carry, xs):
+                    params, opt_state = carry
+                    idx_b, mask_b, key = xs
+                    # batched per-shard gather: operand and indices are
+                    # both sharded over "data", so no collective moves
+                    # triples between shards
+                    local = jnp.take_along_axis(
+                        triples_all, idx_b[:, :, None], axis=1
+                    )
+                    batch = {
+                        "triples": local.reshape(D * bsl, 3),
+                        "mask": mask_b.reshape(-1),
+                    }
+                    params, opt_state, cost, aux = raw_step(
+                        params, opt_state, batch, key, lr
+                    )
+                    ys = (
+                        cost, aux["avg_loss"],
+                        {k: v for k, v in aux.get("penalties", {}).items()},
+                    )
+                    return (params, opt_state), ys
+
+                keys = jax.random.split(scan_key, nb)
+                (params, opt_state), ys = jax.lax.scan(
+                    body, (params, opt_state), (idx, msk, keys)
+                )
+                return params, opt_state, ys
+
+            self._epoch_fn = epoch_fn
+            self._jitted_epoch = jax.jit(epoch_fn, donate_argnums=(0, 1))
+            self._jitted_epoch_groups = {}
+        return size, nb, prepare_time
+
     def _ensure_epoch_scan(self, data: Dict[str, np.ndarray]):
         """Put the epoch data on device and build the pure epoch function +
         its single-epoch jit; returns (size, nb, prepare_time)."""
         size = int(data.pop("__size__"))
         bs = self.batch_size
+        if getattr(self, "_partition_edges", False) and "triples_flat" in data:
+            return self._ensure_epoch_scan_partitioned(data, size, bs)
         nb = math.ceil(size / bs)
         pad = nb * bs - size
 
@@ -855,10 +964,14 @@ class TrainingJob(TrainingOrEvaluationJob):
         return ""
 
     def _delete_checkpoint(self, checkpoint_id: int):
+        import glob
+
         filename = self.config.checkpoint_file(checkpoint_id)
         if os.path.exists(filename):
             self.config.log("Removing old checkpoint {}...".format(filename))
             os.remove(filename)
+        for shard in glob.glob(filename + ".shard*"):
+            os.remove(shard)
 
     # -- helpers for subclasses ------------------------------------------------
 

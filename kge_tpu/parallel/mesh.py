@@ -102,7 +102,11 @@ class DeviceCtx:
             return None
         specs = {}
         for k, v in batch.items():
-            if k.startswith("neg_unique") or k.startswith("label_"):
+            if (
+                k.startswith("neg_unique")
+                or k.startswith("neg_pool")
+                or k.startswith("label_")
+            ):
                 specs[k] = self._ns(P())
             elif hasattr(v, "ndim") and v.ndim >= 1:
                 specs[k] = self._ns(P("data", *([None] * (v.ndim - 1))))

@@ -17,26 +17,101 @@ import numpy as np
 from kge_tpu.config import Config
 
 
-def _to_numpy(tree):
-    from kge_tpu.parallel import distributed
+SHARDED_MARKER = "__kge_sharded_leaf__"
 
-    # under multi-host execution sharded leaves are gathered to every
-    # process before conversion
-    return distributed.fetch(tree)
+
+def _leaf_path_id(path) -> str:
+    import jax
+
+    return "/".join(
+        str(getattr(p, "key", getattr(p, "idx", p))) for p in path
+    )
+
+
+def _covers_all(index, shape) -> bool:
+    return all(
+        (sl.start in (None, 0))
+        and (sl.stop is None or sl.stop >= dim)
+        for sl, dim in zip(index, shape)
+    )
+
+
+def _split_distributed(tree, prefix: str, local_shards: Dict[str, list]):
+    """Replace leaves that span non-addressable devices with markers,
+    collecting this process's shards into ``local_shards`` (no gather)."""
+    import jax
+
+    def visit(path, leaf):
+        if not isinstance(leaf, jax.Array):
+            return leaf
+        if leaf.is_fully_addressable:
+            return np.asarray(leaf)
+        first = leaf.addressable_shards[0]
+        if _covers_all(first.index, leaf.shape):
+            # replicated over hosts: any local copy is the whole array
+            return np.asarray(first.data)
+        path_id = prefix + _leaf_path_id(path)
+        local_shards[path_id] = [
+            (
+                tuple((sl.start, sl.stop) for sl in shard.index),
+                np.asarray(shard.data),
+            )
+            for shard in leaf.addressable_shards
+        ]
+        return {
+            SHARDED_MARKER: True,
+            "shape": tuple(leaf.shape),
+            "dtype": str(leaf.dtype),
+            "path": path_id,
+        }
+
+    return jax.tree_util.tree_map_with_path(visit, tree)
+
+
+def shard_filename(filename: str, process: int) -> str:
+    return f"{filename}.shard{process:05d}"
 
 
 def save_checkpoint(checkpoint: Dict[str, Any], filename: str):
-    """Atomically write a checkpoint file (process 0 only when multi-host;
-    all processes participate in gathering sharded arrays)."""
+    """Atomically write a checkpoint.
+
+    Multi-host: cross-host-sharded leaves are never gathered — every
+    process writes its own shards to ``<filename>.shardNNNNN`` and the
+    main file (written by process 0) holds markers plus all replicated
+    state. This keeps per-host memory at the shard size (a full gather of
+    a Wikidata5M-scale table plus optimizer state would be ~20 GB per
+    host)."""
     from kge_tpu.parallel import distributed
 
+    local_shards: Dict[str, list] = {}
     for key in ("model", "optimizer_state"):
         if key in checkpoint and checkpoint[key] is not None:
             if key == "model":
                 params, meta = checkpoint[key]
-                checkpoint[key] = (_to_numpy(params), meta)
+                checkpoint[key] = (
+                    _split_distributed(params, "model/", local_shards), meta
+                )
             else:
-                checkpoint[key] = _to_numpy(checkpoint[key])
+                checkpoint[key] = _split_distributed(
+                    checkpoint[key], "opt/", local_shards
+                )
+    if local_shards:
+        shard_file = shard_filename(
+            filename, distributed.process_index()
+        )
+        tmp = shard_file + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(
+                {
+                    "process": distributed.process_index(),
+                    "shards": local_shards,
+                },
+                f, protocol=pickle.HIGHEST_PROTOCOL,
+            )
+        os.replace(tmp, shard_file)
+        import jax
+
+        checkpoint["num_shard_files"] = jax.process_count()
     if not distributed.is_primary():
         return
     tmpfile = filename + ".tmp"
@@ -72,11 +147,81 @@ def get_checkpoint_file(config: Config, checkpoint_arg: str = "default") -> Opti
         return checkpoint_arg
 
 
+def _reassemble_sharded(checkpoint: Dict, checkpoint_file: str):
+    """Resolve sharded-leaf markers by streaming the per-process shard
+    files written next to the checkpoint."""
+    num = checkpoint.pop("num_shard_files", 0)
+    if not num:
+        return checkpoint
+    assembled: Dict[str, np.ndarray] = {}
+    markers: Dict[str, Dict] = {}
+
+    def collect(leaf):
+        if isinstance(leaf, dict) and leaf.get(SHARDED_MARKER):
+            markers[leaf["path"]] = leaf
+        return leaf
+
+    import jax
+
+    jax.tree_util.tree_map(
+        collect, (checkpoint.get("model"), checkpoint.get("optimizer_state")),
+        is_leaf=lambda x: isinstance(x, dict) and x.get(SHARDED_MARKER),
+    )
+    for path_id, marker in markers.items():
+        assembled[path_id] = np.empty(
+            marker["shape"], dtype=np.dtype(marker["dtype"])
+        )
+    for p in range(num):
+        shard_file = shard_filename(checkpoint_file, p)
+        if not os.path.isfile(shard_file):
+            raise FileNotFoundError(
+                f"missing checkpoint shard file {shard_file} "
+                f"({num} expected; was the checkpoint copied without its "
+                "shard files?)"
+            )
+        with open(shard_file, "rb") as f:
+            payload = pickle.load(f)
+        for path_id, shards in payload["shards"].items():
+            target = assembled.get(path_id)
+            if target is None:
+                continue
+            for index, data in shards:
+                target[tuple(slice(a, b) for a, b in index)] = data
+
+    def resolve(leaf):
+        if isinstance(leaf, dict) and leaf.get(SHARDED_MARKER):
+            return assembled[leaf["path"]]
+        return leaf
+
+    for key in ("model", "optimizer_state"):
+        if checkpoint.get(key) is None:
+            continue
+        if key == "model":
+            params, meta = checkpoint[key]
+            checkpoint[key] = (
+                jax.tree_util.tree_map(
+                    resolve, params,
+                    is_leaf=lambda x: isinstance(x, dict)
+                    and x.get(SHARDED_MARKER),
+                ),
+                meta,
+            )
+        else:
+            checkpoint[key] = jax.tree_util.tree_map(
+                resolve, checkpoint[key],
+                is_leaf=lambda x: isinstance(x, dict)
+                and x.get(SHARDED_MARKER),
+            )
+    return checkpoint
+
+
 def load_checkpoint(checkpoint_file: str, device: Optional[str] = None) -> Dict:
     """Load a checkpoint; adds its file/folder for downstream resume logic
-    (reference kge/util/io.py:36-47)."""
+    (reference kge/util/io.py:36-47). Sharded checkpoints (written by
+    multi-host runs) are reassembled from their per-process shard files."""
     with open(checkpoint_file, "rb") as f:
         checkpoint = pickle.load(f)
+    checkpoint = _reassemble_sharded(checkpoint, checkpoint_file)
     checkpoint["file"] = checkpoint_file
     folder = os.path.dirname(checkpoint_file)
     if "config" in checkpoint and folder:

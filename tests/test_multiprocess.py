@@ -36,6 +36,7 @@ config.set("train.max_epochs", 2)
 config.set("valid.every", 0)
 config.set("parallel.data", 4)
 config.set("parallel.model", 1)
+config.set("parallel.partition_edges", "never")
 config.set("parallel.distributed.coordinator_address", "localhost:" + port)
 config.set("parallel.distributed.num_processes", n)
 config.set("parallel.distributed.process_id", pid)
@@ -146,3 +147,149 @@ def test_two_process_training_matches_single_process(tmp_path):
     )
     # only process 0 wrote the checkpoint
     assert (out_folder / "checkpoint_00002.pt").exists()
+
+
+WORKER_PART = r"""
+import os, sys
+pid = int(sys.argv[1]); n = int(sys.argv[2]); port = sys.argv[3]
+data_folder = sys.argv[4]; out_folder = sys.argv[5]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+sys.path.insert(0, {repo!r})
+import jax, math
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+
+from kge_tpu import Config, Dataset
+from kge_tpu.job import TrainingJob
+
+config = Config()
+config.set("console.quiet", True)
+config.load_options({{"model": "complex"}})
+config.set("dataset.name", "synth_mp")
+config.set("train.type", "negative_sampling")
+config.set("train.batch_size", 64)
+config.set("valid.every", 0)
+config.set("parallel.data", 2)
+config.set("parallel.model", 2)
+config.set("parallel.partition_edges", "always")
+config.set("parallel.distributed.coordinator_address", "localhost:" + port)
+config.set("parallel.distributed.num_processes", n)
+config.set("parallel.distributed.process_id", pid)
+config.set("complex.entity_embedder.dim", 16, create=True)
+config.set("complex.relation_embedder.dim", 16, create=True)
+config.set("random_seed.default", 11)
+config.folder = out_folder
+from kge_tpu.parallel import distributed
+assert distributed.maybe_initialize(config)
+if pid == 0:
+    config.init_folder()
+dataset = Dataset.create(config, folder=data_folder)
+job = TrainingJob.create(config, dataset)
+job._prepare()
+job._is_prepared = True
+assert job._partition_edges
+
+# each host holds a DISJOINT shard: poison every row this process's data
+# shards do not own; the run only stays correct if the partitioned input
+# pipeline reads local rows exclusively
+D = 2
+size = len(job.triples)
+base = math.ceil(size / D)
+local_shards = (pid,)   # 2 devices per process = one data row of the 2x2 mesh
+tri = job.triples.copy()
+owned = np.zeros(size, dtype=bool)
+for s in local_shards:
+    owned[s * base : min(size, (s + 1) * base)] = True
+tri[~owned] = 2**31 - 7  # out-of-range garbage would crash any gather
+job.triples = tri
+
+losses = []
+for e in (1, 2):
+    job.epoch = e
+    losses.append(job.run_epoch()["avg_loss"])
+print("LOSSES", pid, losses, flush=True)
+
+# sharded checkpoint: every process writes only its own shard file
+job._save(config.checkpoint_file(2))
+print("SAVED", pid, flush=True)
+"""
+
+
+@pytest.mark.timeout(600)
+def test_two_process_disjoint_edge_partitions(tmp_path):
+    """Two processes with disjoint triple shards (non-local rows poisoned)
+    must reproduce the single-process partitioned trajectory exactly."""
+    from tests.util import get_test_config, make_synthetic_dataset
+    from kge_tpu import Dataset
+    from kge_tpu.job import TrainingJob
+
+    data_folder = make_synthetic_dataset(tmp_path / "synth_mp", seed=4)
+
+    config = get_test_config()
+    config.load_options({"model": "complex"})
+    config.set("dataset.name", "synth_mp")
+    config.set("train.type", "negative_sampling")
+    config.set("train.batch_size", 64)
+    config.set("valid.every", 0)
+    config.set("parallel.data", 2)
+    config.set("parallel.model", 2)
+    config.set("parallel.partition_edges", "always")
+    config.set("complex.entity_embedder.dim", 16, create=True)
+    config.set("complex.relation_embedder.dim", 16, create=True)
+    config.set("random_seed.default", 11)
+    dataset = Dataset.create(config, folder=str(data_folder))
+    job = TrainingJob.create(config, dataset)
+    job._prepare()
+    job._is_prepared = True
+    assert job._partition_edges
+    base_losses = []
+    for e in (1, 2):
+        job.epoch = e
+        base_losses.append(job.run_epoch()["avg_loss"])
+
+    port = str(_free_port())
+    script = tmp_path / "worker_part.py"
+    script.write_text(WORKER_PART.format(repo=str(REPO)))
+    out_folder = tmp_path / "exp_mp_part"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(pid), "2", port,
+             str(data_folder), str(out_folder)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env={k: v for k, v in os.environ.items()
+                 if k not in ("JAX_PLATFORMS", "XLA_FLAGS")},
+        )
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=540)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-3000:]
+    losses = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("LOSSES"):
+                _, pid, rest = line.split(" ", 2)
+                losses[int(pid)] = eval(rest)
+    assert set(losses) == {0, 1}
+    np.testing.assert_allclose(losses[0], base_losses, rtol=1e-6)
+    np.testing.assert_allclose(losses[1], base_losses, rtol=1e-6)
+
+    # the checkpoint was written as a main file plus one shard file per
+    # process (no full gather); loading reassembles the global entity table
+    # and must reproduce the single-process run's trained parameters
+    from kge_tpu.utils.io import load_checkpoint
+
+    cpt_file = str(out_folder / "checkpoint_00002.pt")
+    assert os.path.isfile(cpt_file)
+    assert os.path.isfile(cpt_file + ".shard00000")
+    assert os.path.isfile(cpt_file + ".shard00001")
+    checkpoint = load_checkpoint(cpt_file)
+    loaded_params = checkpoint["model"][0]
+    ent = np.asarray(loaded_params["entity_embedder"]["embeddings"])
+    base_ent = np.asarray(
+        job.model_params["entity_embedder"]["embeddings"]
+    )
+    np.testing.assert_allclose(ent, base_ent, rtol=1e-5, atol=1e-6)
+    opt = checkpoint["optimizer_state"]
+    assert opt is not None

@@ -150,3 +150,43 @@ def test_run_epoch_group_sharded(synth_folder):
     losses = [t["avg_loss"] for t in traces]
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_partitioned_edges_trains_and_is_deterministic(synth_folder):
+    """parallel.partition_edges=always: each data shard shuffles within its
+    own contiguous share of the triples. The run must be reproducible, cover
+    every example, and converge like the unpartitioned run."""
+    losses = {}
+    for run in ("a", "b"):
+        job = make_job(
+            synth_folder, 4, 2,
+            **{"parallel.partition_edges": "always",
+               "random_seed.default": 5},
+        )
+        job._prepare()
+        job._is_prepared = True
+        assert job._partition_edges
+        traces = job.run_epoch_group(3)
+        assert traces[-1]["size"] == job.num_examples
+        losses[run] = [t["avg_loss"] for t in traces]
+        assert all(np.isfinite(v) for v in losses[run])
+    assert losses["a"] == losses["b"]
+    # learning happens (loss drops over epochs)
+    assert losses["a"][-1] < losses["a"][0]
+
+
+def test_partitioned_edges_independent_of_model_axis(synth_folder):
+    """The partitioned trajectory depends only on the data-axis size, not on
+    the model axis — the invariance that makes per-host feeding lossless."""
+    losses = {}
+    for model_axis in (1, 2):
+        job = make_job(
+            synth_folder, 4, model_axis,
+            **{"parallel.partition_edges": "always",
+               "random_seed.default": 5},
+        )
+        job._prepare()
+        job._is_prepared = True
+        traces = job.run_epoch_group(2)
+        losses[model_axis] = [round(t["avg_loss"], 5) for t in traces]
+    assert losses[1] == losses[2]
