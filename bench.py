@@ -48,7 +48,7 @@ BASELINE_TRIPLES_PER_SEC = 1.0e5
 NUM_ENTITIES = 14541
 NUM_RELATIONS = 237
 NUM_TRAIN = 272115
-NUM_VALID = 5000
+NUM_VALID = 20000
 DIM = 512
 BATCH_SIZE = 8192
 NUM_NEG = 128
