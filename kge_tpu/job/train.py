@@ -480,9 +480,33 @@ class TrainingJob(TrainingOrEvaluationJob):
             num_epochs > 1 and self._epoch_scan_enabled()
         ) else None
         if data is not None and "triples_flat" not in data:
-            # strategy with per-epoch host-built scan inputs (e.g. KvsAll):
-            # epochs dispatch individually, scalars still fetched deferred
-            data = None
+            # strategy with per-epoch host-built scan inputs (KvsAll): each
+            # epoch dispatches its own compiled scans, but no epoch fetches
+            # before the whole group is enqueued — the host collation of
+            # epoch e+1 overlaps the device execution of epoch e (measured
+            # ~30% device idle when built serially)
+            dispatched = []
+            for _ in range(num_epochs):
+                self.epoch += 1
+                base = dict(
+                    type=self.type_str, scope="epoch", epoch=self.epoch,
+                    split=self.train_split, batches=0, size=0,
+                )
+                self.current_trace["epoch"] = base
+                for f in self.pre_epoch_hooks:
+                    f(self)
+                epoch_data = self._scan_data()
+                ys, meta = self._dispatch_epoch_scanned(epoch_data)
+                dispatched.append((base, ys, meta))
+                if not self.kge_lr_scheduler.metric_based:
+                    self.kge_lr_scheduler.step()
+            traces = []
+            for base, ys, meta in dispatched:
+                self.current_trace["epoch"] = base
+                traces.append(
+                    self._finalize_epoch_scanned(jax.device_get(ys), meta)
+                )
+            return traces
         if data is None:
             traces = []
             for _ in range(num_epochs):
