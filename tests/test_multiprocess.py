@@ -293,3 +293,96 @@ def test_two_process_disjoint_edge_partitions(tmp_path):
     np.testing.assert_allclose(ent, base_ent, rtol=1e-5, atol=1e-6)
     opt = checkpoint["optimizer_state"]
     assert opt is not None
+
+
+WORKER_RESUME = r"""
+import os, sys
+pid = int(sys.argv[1]); n = int(sys.argv[2]); port = sys.argv[3]
+data_folder = sys.argv[4]; out_folder = sys.argv[5]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+
+from kge_tpu import Config, Dataset
+from kge_tpu.job import Job
+
+from kge_tpu.utils.io import load_checkpoint
+
+config = Config()
+config.set("console.quiet", True)
+config.load_options({{"model": "complex"}})
+config.set("dataset.name", "synth_mp")
+config.set("train.type", "negative_sampling")
+config.set("train.batch_size", 64)
+config.set("train.max_epochs", 4)
+config.set("valid.every", 0)
+config.set("parallel.data", 2)
+config.set("parallel.model", 2)
+config.set("parallel.partition_edges", "always")
+config.set("parallel.distributed.coordinator_address", "localhost:" + port)
+config.set("parallel.distributed.num_processes", n)
+config.set("parallel.distributed.process_id", pid)
+config.set("complex.entity_embedder.dim", 16, create=True)
+config.set("complex.relation_embedder.dim", 16, create=True)
+config.set("random_seed.default", 11)
+config.folder = out_folder
+from kge_tpu.parallel import distributed
+assert distributed.maybe_initialize(config)
+dataset = Dataset.create(config, folder=data_folder)
+
+# resume the sharded checkpoint written by the earlier 2-process run and
+# train two more epochs
+checkpoint = load_checkpoint(os.path.join(out_folder, "checkpoint_00002.pt"))
+job = Job.create_from(checkpoint, new_config=config, dataset=dataset)
+assert job.epoch == 2
+losses = []
+for e in (3, 4):
+    job.epoch = e
+    losses.append(job.run_epoch()["avg_loss"])
+print("RESUMED", pid, losses, flush=True)
+"""
+
+
+@pytest.mark.timeout(600)
+def test_two_process_resume_from_sharded_checkpoint(tmp_path):
+    """A 2-process run resumes the sharded checkpoint written by another
+    2-process run and continues training (multi-host elastic restart)."""
+    from tests.util import make_synthetic_dataset
+
+    data_folder = make_synthetic_dataset(tmp_path / "synth_mp", seed=4)
+    out_folder = tmp_path / "exp_mp_resume"
+
+    def launch(worker_src):
+        port = str(_free_port())
+        script = tmp_path / f"worker_{abs(hash(worker_src)) % 10**6}.py"
+        script.write_text(worker_src.format(repo=str(REPO)))
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(script), str(pid), "2", port,
+                 str(data_folder), str(out_folder)],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+                env={k: v for k, v in os.environ.items()
+                     if k not in ("JAX_PLATFORMS", "XLA_FLAGS")},
+            )
+            for pid in (0, 1)
+        ]
+        outs = [p.communicate(timeout=540)[0] for p in procs]
+        for p, out in zip(procs, outs):
+            assert p.returncode == 0, out[-3000:]
+        return outs
+
+    launch(WORKER_PART)  # trains 2 epochs + writes the sharded checkpoint
+    outs = launch(WORKER_RESUME)
+
+    losses = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("RESUMED"):
+                _, pid, rest = line.split(" ", 2)
+                losses[int(pid)] = eval(rest)
+    assert set(losses) == {0, 1}
+    assert losses[0] == losses[1]
+    assert all(np.isfinite(v) for v in losses[0])
