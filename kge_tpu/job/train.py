@@ -267,24 +267,16 @@ class TrainingJob(TrainingOrEvaluationJob):
             self, "post_valid_hooks", []
         )
 
-        # pallas embedding-gather gradient: single-device TPU only (pallas
-        # calls do not auto-partition over a mesh), and — in auto mode —
-        # only for small tables: every gather's backward materializes a
-        # dense table-sized cotangent buffer per call site (unlike XLA
-        # scatters, custom-call accumulations don't fuse)
+        # pallas embedding-gather gradient. Measured on v5e (shared-negative
+        # ComplEx d=512, FB15k-237 shapes): the XLA gather/scatter path
+        # beats the pallas sorted scatter-add by ~3.5% end-to-end (2.29M vs
+        # 2.21M triples/s) at moderate table sizes, and at large tables the
+        # kernel's dense per-call-site backward cotangents dominate — so
+        # "auto" resolves to XLA; "always" keeps the kernel available
+        # (single device only: pallas calls do not partition over a mesh).
         from kge_tpu.ops import pallas_ops
 
-        largest_leaf = max(
-            (l.size * l.dtype.itemsize
-             for l in jax.tree_util.tree_leaves(self.model_params)),
-            default=0,
-        )
-        use_pallas = self._pallas_gather_mode == "always" or (
-            self._pallas_gather_mode == "auto"
-            and not self.device_ctx.active
-            and jax.default_backend() == "tpu"
-            and largest_leaf <= 2 << 28  # ~0.5 GB
-        )
+        use_pallas = self._pallas_gather_mode == "always"
         pallas_ops.set_gather_mode("pallas" if use_pallas else "xla")
 
         # edge partitioning over the data axis (scanned epochs): every data
