@@ -173,12 +173,11 @@ class TrainingJobNegativeSampling(TrainingJob):
         if not self._on_device:
             return None
         # per-row sample extraction from the batch x vocab score matrix
-        # ("all"/"batch" with non-shared negatives) deoptimizes inside
-        # lax.scan loops on TPU: XLA lowers the per-row gather and its
-        # transpose scatter to serialized forms (measured ~26 ns/element on
-        # v5e vs vectorized outside the loop). Dispatch such epochs
-        # batch-by-batch instead; the pipelined per-batch path keeps the
-        # device busy. (CPU lowering has no such cliff — keep scanning.)
+        # ("all"/"batch" with non-shared negatives): measured on v5e the
+        # scanned epoch matches the pipelined per-batch path (~135k
+        # triples/s either way — the per-row gather/scatter dominates both)
+        # but costs ~15x more compile time (190s vs 14s); dispatch these
+        # epochs batch-by-batch. (CPU scanning compiles fast — keep it.)
         if (
             not self._sampler.shared
             and self._implementation in ("all", "batch")
