@@ -397,6 +397,14 @@ class TrainingJob(TrainingOrEvaluationJob):
                 k: v for k, v in batch.items() if k not in per_example
             }
 
+            # rematerialize each subbatch: without jax.checkpoint the scan's
+            # backward keeps every subbatch's forward residuals alive at
+            # once — the full-batch activation footprint the subbatching
+            # exists to avoid
+            @jax.checkpoint
+            def subbatch_loss(params, subbatch, key):
+                return loss_for_batch(params, subbatch, key)
+
             def body(carry, xs):
                 subbatch, key, offset = xs
                 subbatch = dict(subbatch)
@@ -404,7 +412,7 @@ class TrainingJob(TrainingOrEvaluationJob):
                 subbatch["__denom__"] = denom
                 # lets coordinate-based labels (KvsAll) localize row indexes
                 subbatch["__row_offset__"] = offset
-                loss_value, aux = loss_for_batch(params, subbatch, key)
+                loss_value, aux = subbatch_loss(params, subbatch, key)
                 scalars = {"avg_loss": aux.get("avg_loss", loss_value)}
                 return carry, (loss_value, scalars)
 
@@ -530,7 +538,9 @@ class TrainingJob(TrainingOrEvaluationJob):
 
         # one jitted scan over epochs (cached per group size): a single
         # device dispatch + a single fetch for the entire group
-        if num_epochs not in self._jitted_epoch_groups:
+        def ensure_group_fn():
+            if num_epochs in self._jitted_epoch_groups:
+                return
             epoch_fn = self._epoch_fn
 
             def group_fn(params, opt_state, triples_all, keys, lrs):
@@ -551,12 +561,22 @@ class TrainingJob(TrainingOrEvaluationJob):
                 group_fn, donate_argnums=(0, 1)
             )
 
-        self.model_params, self.opt_state, ys_all = (
-            self._jitted_epoch_groups[num_epochs](
-                self.model_params, self.opt_state, self._device_epoch_triples,
-                jnp.stack(keys), jnp.stack(lrs),
-            )
-        )
+        while True:
+            ensure_group_fn()
+            try:
+                self.model_params, self.opt_state, ys_all = (
+                    self._jitted_epoch_groups[num_epochs](
+                        self.model_params, self.opt_state,
+                        self._device_epoch_triples,
+                        jnp.stack(keys), jnp.stack(lrs),
+                    )
+                )
+                break
+            except Exception as e:
+                # device OOM auto-tuning applies to scanned groups too
+                if not self._handle_oom(e):
+                    raise
+                self._ensure_epoch_scan(self._scan_data())
         fetched_all = jax.device_get(ys_all)
 
         traces = []
@@ -736,10 +756,19 @@ class TrainingJob(TrainingOrEvaluationJob):
         epoch_start = time.time()
         size, nb, prepare_time = self._ensure_epoch_scan(data)
         key, self._root_key = _split_key(self._root_key)
-        self.model_params, self.opt_state, ys = self._jitted_epoch(
-            self.model_params, self.opt_state, self._device_epoch_triples,
-            key, self._current_lrs()
-        )
+        while True:
+            try:
+                self.model_params, self.opt_state, ys = self._jitted_epoch(
+                    self.model_params, self.opt_state,
+                    self._device_epoch_triples, key, self._current_lrs()
+                )
+                break
+            except Exception as e:
+                if not self._handle_oom(e):
+                    raise
+                size, nb, prepare_time = self._ensure_epoch_scan(
+                    self._scan_data()
+                )
         meta = dict(
             epoch_start=epoch_start, prepare_time=prepare_time,
             nb=nb, size=size, epoch=self.epoch,
@@ -996,7 +1025,15 @@ class TrainingJob(TrainingOrEvaluationJob):
         compiled step (reference train.py:374-413). Returns True when the
         failed call should be retried."""
         message = str(e)
-        if "RESOURCE_EXHAUSTED" not in message and "Out of memory" not in message:
+        oom_markers = (
+            "RESOURCE_EXHAUSTED", "Out of memory", "would exceed memory",
+            "Ran out of memory",
+            # the axon remote-compile helper reports compile-time OOM as a
+            # generic HTTP 500; retrying with a smaller subbatch either
+            # fixes it or surfaces the real error after the halvings run out
+            "tpu_compile_helper",
+        )
+        if not any(m in message for m in oom_markers):
             return False
         if not self.config.get("train.subbatch_auto_tune"):
             return False

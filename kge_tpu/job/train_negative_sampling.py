@@ -278,6 +278,16 @@ class TrainingJobNegativeSampling(TrainingJob):
             # (an elementwise one-hot contraction — no cross-lane gather)
             pool = batch[f"neg_pool_{slot}"]
             sel = batch[f"neg_sel_{slot}"]
+            if getattr(
+                getattr(self.model, "_scorer", None),
+                "pairwise_many_targets", False,
+            ):
+                # distance models: the [n, P] matmul form is a pairwise
+                # reduction; gather candidates from the pool mini-table
+                # and score per row instead
+                return self.model.score_spo_neg_pooled(
+                    params, triples, pool, sel, self._pool_factor, slot, ctx
+                )
             pool_scores = self._score_targets(
                 params, triples, slot, pool, ctx
             ).reshape(n, num, self._pool_factor)

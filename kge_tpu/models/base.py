@@ -886,6 +886,41 @@ class KgeModel(KgeBase):
             ctx.fold(4),
         )
 
+    def score_spo_neg_pooled(self, params: Params, triples, pool, sel,
+                             pool_factor: int, slot: int,
+                             ctx: Ctx = EVAL_CTX) -> jax.Array:
+        """Pool-implementation scoring for scorers whose many-targets forms
+        are pairwise reductions (distance models): embed the pool once as a
+        mini-table, gather each row's selected candidate embeddings from it
+        (a row gather from a VMEM-sized table — the fast TPU gather class),
+        and score via ``score_emb_neg``. Avoids both the [n, P] pairwise
+        tensor of the matmul pool path and full-table candidate gathers."""
+        n = triples.shape[0]
+        k = sel.shape[1]
+        embedders = (
+            self.get_s_embedder(), self.get_p_embedder(), self.get_o_embedder()
+        )
+        tables = ("entity_embedder", "relation_embedder", "entity_embedder")
+        pool_emb = embedders[slot].embed(
+            params[tables[slot]], pool, ctx.fold(5)
+        )
+        slots = jnp.arange(k, dtype=sel.dtype)[None, :] * pool_factor + sel
+        cand = pool_emb[slots.reshape(-1)].reshape(n, k, -1)
+        embs = []
+        for i in range(3):
+            if i == slot:
+                embs.append(cand)
+                continue
+            embs.append(
+                embedders[i].embed(
+                    params[tables[i]], triples[:, i], ctx.fold(1 + i)
+                )
+            )
+        return self._scorer.score_emb_neg(
+            self._scorer_params(params), embs[0], embs[1], embs[2], slot,
+            ctx.fold(4),
+        )
+
     def score_sp(self, params: Params, s, p, o=None, ctx: Ctx = EVAL_CTX) -> jax.Array:
         """Scores of (s_i, p_i, *) against all (or the given) objects; [n, m]."""
         s_emb = self.get_s_embedder().embed(params["entity_embedder"], s, ctx.fold(1))

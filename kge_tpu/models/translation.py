@@ -57,12 +57,18 @@ def _map_over_targets(score_chunk, targets: jax.Array, n: int) -> jax.Array:
     nchunks = -(-m // chunk)
     pad = nchunks * chunk - m
     padded = jnp.pad(targets, ((0, pad), (0, 0)))
-    out = jax.lax.map(score_chunk, padded.reshape(nchunks, chunk, d))
+    # rematerialize per chunk: without it the map's backward stores every
+    # chunk's [n, chunk, d] residuals simultaneously — the full pairwise
+    # tensor the chunking exists to avoid
+    out = jax.lax.map(jax.checkpoint(score_chunk),
+                      padded.reshape(nchunks, chunk, d))
     return jnp.moveaxis(out, 0, 1).reshape(n, nchunks * chunk)[:, :m]
 
 
 class TransEScorer(RelationalScorer):
     """score = -||s + p - o||_l (reference transe.py:16-36)."""
+
+    pairwise_many_targets = True  # sp_/_po are VPU reductions, not matmuls
 
     def __init__(self, config, dataset, configuration_key=None):
         super().__init__(config, dataset, configuration_key)
@@ -92,6 +98,17 @@ class TransEScorer(RelationalScorer):
         else:
             return super().score_emb(params, s_emb, p_emb, o_emb, combine, ctx)
         return out.reshape(n, -1)
+
+    def score_emb_neg(self, params, s_emb, p_emb, o_emb, slot, ctx):
+        # every slot reduces to -||q_row - candidate||: one fused broadcast
+        # subtract + norm over [n, k, d] (no [n*k, d] materialization)
+        if slot == 0:
+            query, cand = o_emb - p_emb, s_emb
+        elif slot == 1:
+            query, cand = o_emb - s_emb, p_emb
+        else:
+            query, cand = s_emb + p_emb, o_emb
+        return -_p_norm(query[:, None, :] - cand, self._norm, axis=2)
 
 
 class TransE(KgeModel):
@@ -127,6 +144,8 @@ class TransHScorer(RelationalScorer):
     hyperplane with normal w_p before translation (reference transh.py:16-81).
     The relation embedding stores [translation | normal] concatenated.
     """
+
+    pairwise_many_targets = True  # sp_/_po are VPU reductions, not matmuls
 
     def __init__(self, config, dataset, configuration_key=None):
         super().__init__(config, dataset, configuration_key)
@@ -172,6 +191,25 @@ class TransHScorer(RelationalScorer):
         else:
             return super().score_emb(params, s_emb, p_emb, o_emb, combine, ctx)
         return out.reshape(n, -1)
+
+    def score_emb_neg(self, params, s_emb, p_emb, o_emb, slot, ctx):
+        if slot == 1:
+            # per-candidate hyperplanes: project both kept entities under
+            # each candidate relation's normal
+            rel3, w3 = jnp.split(p_emb, 2, axis=2)          # [n, k, d]
+            diff = (
+                self._transfer(s_emb[:, None, :], w3) + rel3
+                - self._transfer(o_emb[:, None, :], w3)
+            )
+            return -_p_norm(diff, self._norm, axis=2)
+        rel_emb, norm_vec = jnp.split(p_emb, 2, axis=1)
+        if slot == 0:
+            query = self._transfer(o_emb, norm_vec) - rel_emb
+            cand = self._transfer(s_emb, norm_vec[:, None, :])
+        else:
+            query = self._transfer(s_emb, norm_vec) + rel_emb
+            cand = self._transfer(o_emb, norm_vec[:, None, :])
+        return -_p_norm(query[:, None, :] - cand, self._norm, axis=2)
 
 
 class TransH(KgeModel):
@@ -221,6 +259,8 @@ class RotatEScorer(RelationalScorer):
     """Relations are phase vectors rotating complex entity embeddings;
     score = -||abs(s*r - o)||_l (reference rotate.py:20-70)."""
 
+    pairwise_many_targets = True  # sp_/_po are VPU reductions, not matmuls
+
     def __init__(self, config, dataset, configuration_key=None):
         super().__init__(config, dataset, configuration_key)
         self._norm = float(self.get_option("l_norm"))
@@ -266,6 +306,30 @@ class RotatEScorer(RelationalScorer):
         else:
             return super().score_emb(params, s_emb, p_emb, o_emb, combine, ctx)
         return out.reshape(n, -1)
+
+    def score_emb_neg(self, params, s_emb, p_emb, o_emb, slot, ctx):
+        if slot == 1:
+            s_re, s_im = jnp.split(s_emb, 2, axis=1)
+            o_re, o_im = jnp.split(o_emb, 2, axis=1)
+            p_re, p_im = jnp.cos(p_emb), jnp.sin(p_emb)  # [n, k, d/2]
+            sp_re, sp_im = self._hadamard(
+                s_re[:, None, :], s_im[:, None, :], p_re, p_im
+            )
+            d_re, d_im = sp_re - o_re[:, None, :], sp_im - o_im[:, None, :]
+        else:
+            p_re, p_im = jnp.cos(p_emb), jnp.sin(p_emb)
+            if slot == 0:
+                o_re, o_im = jnp.split(o_emb, 2, axis=1)
+                q_re, q_im = self._hadamard(p_re, -p_im, o_re, o_im)
+                c_re, c_im = jnp.split(s_emb, 2, axis=2)
+            else:
+                s_re, s_im = jnp.split(s_emb, 2, axis=1)
+                q_re, q_im = self._hadamard(s_re, s_im, p_re, p_im)
+                c_re, c_im = jnp.split(o_emb, 2, axis=2)
+            d_re = q_re[:, None, :] - c_re
+            d_im = q_im[:, None, :] - c_im
+        mod = jnp.sqrt(d_re * d_re + d_im * d_im + 1e-30)
+        return -_p_norm_nonneg(mod, self._norm, axis=2)
 
 
 class RotatE(KgeModel):

@@ -8,7 +8,7 @@ import pytest
 from tests.util import DATASET_DIR, get_test_config, get_test_dataset
 
 
-def make_pool_job(**options):
+def make_pool_job(model="complex", **options):
     from kge_tpu.job import TrainingJob
 
     config = get_test_config(
@@ -23,20 +23,23 @@ def make_pool_job(**options):
             "lookup_embedder.dim": 8,
         }
     )
-    config.load_options({"model": "complex"})
+    config.load_options({"model": model})
     for k, v in options.items():
         config.set(k, v, create=True)
     dataset = get_test_dataset(config)
     return TrainingJob.create(config, dataset)
 
 
-def test_pool_scores_match_explicit_selection():
+@pytest.mark.parametrize("model", ["complex", "transe", "rotate"])
+def test_pool_scores_match_explicit_selection(model):
     """The pool-scored negatives must equal score_spo of the selected pool
-    entities (the selection semantics, checked against a direct compute)."""
+    entities (the selection semantics, checked against a direct compute) —
+    both for the matmul pool path (bilinear models) and the row-candidate
+    pool path (distance models)."""
     import jax
     import jax.numpy as jnp
 
-    job = make_pool_job()
+    job = make_pool_job(model)
     job._prepare()
     job._is_prepared = True
     params = job.model_params
