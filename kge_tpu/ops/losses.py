@@ -20,8 +20,18 @@ from kge_tpu.config import Config
 def _labels_as_matrix(scores: jax.Array, labels: jax.Array) -> jax.Array:
     if labels.ndim == 2:
         return labels.astype(scores.dtype)
-    n = scores.shape[0]
-    return jnp.zeros_like(scores).at[jnp.arange(n), labels].set(1.0)
+    # one-hot (iota compare) instead of a row-indexed scatter: scatters with
+    # per-row column indexes hit the serialized TPU gather/scatter path,
+    # especially under vmap (the per-row loss wrapper)
+    return jax.nn.one_hot(labels, scores.shape[1], dtype=scores.dtype)
+
+
+def _pick_columns(values: jax.Array, idx: jax.Array) -> jax.Array:
+    """values[arange(n), idx] as a one-hot contraction (no per-row gather)."""
+    return jnp.sum(
+        values * jax.nn.one_hot(idx, values.shape[1], dtype=values.dtype),
+        axis=1,
+    )
 
 
 def _bce_with_logits(scores: jax.Array, labels: jax.Array) -> jax.Array:
@@ -109,8 +119,7 @@ class BCEWithLogitsKgeLoss(KgeLoss):
         else:
             pos_idx = jnp.argmax(labels_matrix, axis=1)
         n, m = scores.shape
-        rows = jnp.arange(n)
-        losses_pos = losses[rows, pos_idx]
+        losses_pos = _pick_columns(losses, pos_idx)
         if self._bce_type == "mean":
             losses_neg = jnp.sum(losses, axis=1) - losses_pos
             return (
@@ -135,7 +144,7 @@ class KLDivWithSoftmaxKgeLoss(KgeLoss):
         if labels.ndim == 1:
             # CE with sum reduction
             logz = jax.nn.logsumexp(scores, axis=1)
-            picked = scores[jnp.arange(scores.shape[0]), labels]
+            picked = _pick_columns(scores, labels)
             return jnp.sum(logz - picked)
         else:
             labels = labels.astype(scores.dtype)
