@@ -497,6 +497,11 @@ class TrainingJob(TrainingOrEvaluationJob):
                     f(self)
                 epoch_data = self._scan_data()
                 ys, meta = self._dispatch_epoch_scanned(epoch_data)
+                # pipelined epochs finalize after the whole group is
+                # enqueued, so wall-clock epoch_time would overlap later
+                # epochs; record the dispatch end so the trace can carry
+                # an honest per-epoch number plus a pipelining flag
+                meta["dispatch_end"] = time.time()
                 dispatched.append((base, ys, meta))
                 if not self.kge_lr_scheduler.metric_based:
                     self.kge_lr_scheduler.step()
@@ -785,6 +790,15 @@ class TrainingJob(TrainingOrEvaluationJob):
         if self.abort_on_nan and math.isnan(sum_cost):
             raise FloatingPointError("Cost became nan, aborting training job")
         epoch_time = time.time() - epoch_start
+        extra_timing = {}
+        if "dispatch_end" in meta:
+            # group-pipelined epoch: epoch_time spans the group's remaining
+            # dispatch+execution (finalize runs after the group is enqueued)
+            extra_timing = dict(
+                dispatch_time=meta["dispatch_end"] - epoch_start,
+                group_pipelined=True,
+            )
+        self.current_trace["epoch"].update(extra_timing)
         self.current_trace["epoch"].update(
             dict(
                 batches=nb,
@@ -1028,15 +1042,50 @@ class TrainingJob(TrainingOrEvaluationJob):
         oom_markers = (
             "RESOURCE_EXHAUSTED", "Out of memory", "would exceed memory",
             "Ran out of memory",
-            # the axon remote-compile helper reports compile-time OOM as a
-            # generic HTTP 500; retrying with a smaller subbatch either
-            # fixes it or surfaces the real error after the halvings run out
-            "tpu_compile_helper",
         )
-        if not any(m in message for m in oom_markers):
+        # the axon remote-compile helper reports compile-time OOM as a
+        # generic HTTP 500, but the same marker also covers transient
+        # helper failures — retry once at the current subbatch size before
+        # treating it as OOM, so one flaky 500 doesn't permanently halve
+        # train.subbatch_size for the run and its resumes
+        helper_500 = (
+            "tpu_compile_helper" in message
+            and not any(m in message for m in oom_markers)
+        )
+        if helper_500:
+            if not getattr(self, "_compile_helper_retried", False):
+                self._compile_helper_retried = True
+                self.config.log(
+                    "Remote-compile helper failed (HTTP 500); retrying once "
+                    "at the current subbatch size"
+                )
+                return True
+        elif not any(m in message for m in oom_markers):
             return False
         if not self.config.get("train.subbatch_auto_tune"):
             return False
+        # a donated step that failed during execution (not compilation) may
+        # have invalidated its input buffers; retrying would only raise
+        # "array has been deleted" — propagate the real error instead
+        import jax as _jax
+
+        for leaf in _jax.tree_util.tree_leaves(
+            (self.model_params, self.opt_state)
+        ):
+            if isinstance(leaf, _jax.Array) and leaf.is_deleted():
+                self.config.log(
+                    "Device OOM during execution invalidated donated "
+                    "model/optimizer buffers; cannot retry in-process — "
+                    "resume from the last checkpoint (train.subbatch_size "
+                    "has been reduced for the resume)"
+                )
+                new = (
+                    self.batch_size // 2 if self._subbatch_size <= 0
+                    else self._subbatch_size // 2
+                )
+                if new >= 1:
+                    self.config.set("train.subbatch_size", new, log=True)
+                return False
         new_size = (
             self.batch_size // 2 if self._subbatch_size <= 0
             else self._subbatch_size // 2
@@ -1050,6 +1099,7 @@ class TrainingJob(TrainingOrEvaluationJob):
             "and retrying"
         )
         self._subbatch_size = new_size
+        self._compile_helper_retried = False  # fresh retry at the new size
         self.config.set("train.subbatch_size", new_size, log=True)
         for attr in ("_jitted_epoch", "_epoch_fn", "_jitted_epoch_groups"):
             if hasattr(self, attr):

@@ -105,6 +105,19 @@ def make_global(mesh, spec, host_array) -> Any:
     )
 
 
+def barrier(name: str) -> None:
+    """Block until every process reaches this point (no-op single-process).
+
+    Used to order multi-host side effects, e.g. checkpoint publication:
+    process 0 must not publish the main checkpoint file (or delete the
+    previous one) until every process has written its shard file."""
+    if not is_multiprocess():
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(name)
+
+
 def fetch(tree) -> Any:
     """device_get that works for non-fully-addressable (multi-host) arrays:
     gathers every leaf to all processes first when needed."""

@@ -112,12 +112,42 @@ def save_checkpoint(checkpoint: Dict[str, Any], filename: str):
         import jax
 
         checkpoint["num_shard_files"] = jax.process_count()
+        # order the side effects: no process may proceed (in particular
+        # process 0 must not publish the main file, after which the caller
+        # may delete the previous checkpoint + shards) until every
+        # process's shard file is on disk
+        distributed.barrier(f"save_checkpoint:{os.path.basename(filename)}")
     if not distributed.is_primary():
         return
+    if local_shards:
+        _wait_for_shard_files(filename, checkpoint["num_shard_files"])
     tmpfile = filename + ".tmp"
     with open(tmpfile, "wb") as f:
         pickle.dump(checkpoint, f, protocol=pickle.HIGHEST_PROTOCOL)
     os.replace(tmpfile, filename)
+
+
+def _wait_for_shard_files(filename: str, num: int, timeout: float = 120.0):
+    """Defense for non-POSIX shared filesystems: after the barrier, poll
+    briefly until every shard file is visible before publishing the main
+    checkpoint. Raises if shards never appear — an unloadable checkpoint
+    must not replace a loadable one."""
+    import time
+
+    deadline = time.time() + timeout
+    missing = [
+        shard_filename(filename, p)
+        for p in range(num)
+        if not os.path.isfile(shard_filename(filename, p))
+    ]
+    while missing and time.time() < deadline:
+        time.sleep(0.2)
+        missing = [f for f in missing if not os.path.isfile(f)]
+    if missing:
+        raise RuntimeError(
+            f"checkpoint shard files missing after {timeout:.0f}s: "
+            f"{missing}; refusing to publish an unloadable checkpoint"
+        )
 
 
 def get_checkpoint_file(config: Config, checkpoint_arg: str = "default") -> Optional[str]:
