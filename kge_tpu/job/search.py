@@ -62,23 +62,44 @@ class SearchJob(Job):
     # -- trial scheduling ------------------------------------------------------
 
     def submit_task(self, task, wait_when_full: bool = True):
-        """Run or enqueue a trial callable."""
+        """Run or enqueue a trial ``(trial_no, config, trial_str, kwargs)``.
+
+        With ``search.num_workers <= 1`` the trial runs in-process on this
+        process's device. Otherwise trials are shipped (everything in the
+        tuple is picklable — ``Config`` is a plain options dict) to a
+        spawn-context worker pool; each worker process checks one device out
+        of ``search.device_pool`` before its jax backend initializes, so
+        trials run concurrently on distinct chips."""
         if self.num_workers <= 1:
-            result = task()
-            self.ready_task_results.append(result)
+            self._handle_task_result(self._run_train_job(task))
         else:
             import concurrent.futures
 
             if not hasattr(self, "_executor"):
                 import multiprocessing
 
+                lock_dir = os.path.join(
+                    self.config.folder or ".", ".device_locks"
+                )
+                if os.path.isdir(lock_dir):
+                    for f in os.listdir(lock_dir):
+                        os.unlink(os.path.join(lock_dir, f))
+                pool = list(self.device_pool)
+                while len(pool) < self.num_workers:
+                    pool.extend(self.device_pool)
                 self._executor = concurrent.futures.ProcessPoolExecutor(
                     max_workers=self.num_workers,
                     mp_context=multiprocessing.get_context("spawn"),
+                    initializer=_worker_initializer,
+                    initargs=(pool, lock_dir),
                 )
             if wait_when_full and len(self._running) >= self.num_workers:
                 self.wait_task()
-            future = self._executor.submit(task)
+            share = self._share_dataset(task[1])
+            future = self._executor.submit(
+                _execute_trial, task, self.on_error,
+                self.dataset.folder if share else None,
+            )
             self._running.append(future)
 
     def wait_task(self, return_when="FIRST_COMPLETED"):
@@ -90,73 +111,40 @@ class SearchJob(Job):
                 self._running,
                 return_when=getattr(concurrent.futures, return_when),
             )
-            for f in done:
-                self.ready_task_results.append(f.result())
             self._running = list(not_done)
+            for f in done:
+                self._handle_task_result(f.result())
+
+    def close_workers(self):
+        """Shut down the worker pool (called when all trials finished)."""
+        if hasattr(self, "_executor"):
+            self._executor.shutdown(wait=True)
+            del self._executor
+
+    def _handle_task_result(self, result):
+        """Record a finished trial: emit its search trace entry (always from
+        the search process — workers must not append to the parent's trace
+        file concurrently) and queue the result tuple."""
+        trial_no, best_entry, train_trace, trace_info = result
+        if trace_info is not None:
+            self.config.trace(
+                event="search_completed",
+                echo=True, echo_prefix="  ", log=True,
+                scope="train",
+                **trace_info,
+            )
+        self.ready_task_results.append((trial_no, best_entry, train_trace))
 
     # -- single-trial runner (reference search.py:107-232) --------------------
 
     def _run_train_job(self, sicnk, device: Optional[str] = None):
-        """Run one search trial: (trial_no, config, trial_no_string, kwargs).
-
-        Returns (trial_no, best_valid_trace_entry or None, train_job_trace).
-        """
-        trial_no, config, trial_str, kwargs = sicnk
-        try:
-            os.makedirs(config.folder, exist_ok=True)
-            if not os.path.exists(os.path.join(config.folder, "config.yaml")):
-                config.init_folder()
-            # resume if a checkpoint exists
-            checkpoint_file = None
-            last = config.last_checkpoint_number()
-            if last is not None:
-                checkpoint_file = config.checkpoint_file(last)
-
-            config.log(
-                "Starting training job {} ({}) ...".format(
-                    trial_str, config.folder
-                )
-            )
-            if checkpoint_file is not None:
-                checkpoint = load_checkpoint(checkpoint_file)
-                job = Job.create_from(checkpoint, new_config=config)
-            else:
-                job = Job.create(config, dataset=self.dataset.shallow_copy()
-                                 if self._share_dataset(config) else None)
-            job.parent_job = self
-            best = job.run()
-
-            # copy the best validation trace entry into the search trace
-            valid_trace = getattr(job, "valid_trace", [])
-            metric_name = config.get("valid.metric")
-            best_entry = None
-            if valid_trace:
-                metric_max = config.get("valid.metric_max")
-                values = [t.get(metric_name, float("nan")) for t in valid_trace]
-                values = np.asarray(values, dtype=float)
-                idx = int(np.nanargmax(values) if metric_max else
-                          np.nanargmin(values))
-                best_entry = dict(valid_trace[idx])
-                self.config.trace(
-                    event="search_completed",
-                    echo=True, echo_prefix="  ", log=True,
-                    scope="train",
-                    train_job_id=job.job_id,
-                    folder=config.folder,
-                    metric_value=float(values[idx]),
-                    metric_name=metric_name,
-                    **{k: v for k, v in kwargs.items()},
-                )
-            del job
-            gc.collect()
-            return (trial_no, best_entry, None)
-        except BaseException as e:
-            self.config.log(
-                f"Trial {trial_str} failed: {e!r}"
-            )
-            if self.on_error == "continue":
-                return (trial_no, None, None)
-            raise
+        """Run one search trial in-process; see ``_execute_trial``."""
+        share = self._share_dataset(sicnk[1])
+        return _execute_trial(
+            sicnk, self.on_error,
+            dataset=self.dataset.shallow_copy() if share else None,
+            parent_job=self,
+        )
 
     def _share_dataset(self, trial_config: Config) -> bool:
         """Trials on the same dataset share the in-memory Dataset."""
@@ -166,6 +154,133 @@ class SearchJob(Job):
             )
         except KeyError:
             return False
+
+
+# -- worker-process machinery --------------------------------------------------
+#
+# Parallel trials (search.num_workers > 1) run in spawn-context worker
+# processes. Everything submitted must be picklable, so the unit of work is
+# the plain ``(trial_no, config, trial_str, kwargs)`` tuple and a module-level
+# function. Device pinning happens in the pool initializer: each worker
+# atomically checks one device out of ``search.device_pool`` via a lock file
+# and restricts its process to that device BEFORE the jax backend
+# initializes (reference kge/job/search.py:36-97 does the same with a
+# multiprocessing pool + torch device strings).
+
+_WORKER_DEVICE: Optional[str] = None
+
+
+def _checkout_device(device_pool: List[str], lock_dir: str) -> Optional[str]:
+    """Atomically claim a device slot from the pool (one per worker)."""
+    os.makedirs(lock_dir, exist_ok=True)
+    for i, dev in enumerate(device_pool):
+        path = os.path.join(lock_dir, f"slot{i:03d}.lock")
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            continue
+        os.write(fd, f"{os.getpid()} {dev}\n".encode())
+        os.close(fd)
+        return dev
+    return None
+
+
+def _pin_device(device: Optional[str]):
+    """Restrict this process to ``device`` before jax's backend initializes.
+
+    'cpu' forces the host platform; '<platform>:<n>' additionally makes only
+    local chip ``n`` visible to the process (the TPU runtime honors
+    TPU_VISIBLE_DEVICES / TPU_VISIBLE_CHIPS; CUDA uses
+    CUDA_VISIBLE_DEVICES), so concurrent trials don't contend for one chip's
+    HBM."""
+    if device in (None, "", "auto"):
+        return
+    platform, _, index = device.partition(":")
+    os.environ["JAX_PLATFORMS"] = platform
+    if index:
+        if platform in ("cuda", "gpu", "rocm"):
+            os.environ["CUDA_VISIBLE_DEVICES"] = index
+        else:
+            os.environ["TPU_VISIBLE_DEVICES"] = index
+            os.environ["TPU_VISIBLE_CHIPS"] = index
+
+
+def _worker_initializer(device_pool: List[str], lock_dir: str):
+    global _WORKER_DEVICE
+    _WORKER_DEVICE = _checkout_device(device_pool, lock_dir)
+    _pin_device(_WORKER_DEVICE)
+
+
+def _execute_trial(
+    sicnk,
+    on_error: str = "abort",
+    dataset_folder: Optional[str] = None,
+    dataset: Optional[Dataset] = None,
+    parent_job=None,
+):
+    """Run one search trial: ``(trial_no, config, trial_str, kwargs)``.
+
+    Runs in the search process (``_run_train_job``) or a pinned worker.
+    Returns ``(trial_no, best_valid_trace_entry or None, train_trace,
+    trace_info or None)``; the caller emits the ``search_completed`` trace
+    entry from ``trace_info`` so only the search process appends to the
+    search trace file.
+    """
+    trial_no, config, trial_str, kwargs = sicnk
+    try:
+        if _WORKER_DEVICE is not None and _WORKER_DEVICE.startswith("cpu"):
+            config.set("job.device", "cpu")
+        os.makedirs(config.folder, exist_ok=True)
+        if not os.path.exists(os.path.join(config.folder, "config.yaml")):
+            config.init_folder()
+        # resume if a checkpoint exists
+        checkpoint_file = None
+        last = config.last_checkpoint_number()
+        if last is not None:
+            checkpoint_file = config.checkpoint_file(last)
+
+        config.log(
+            "Starting training job {} ({}) ...".format(
+                trial_str, config.folder
+            )
+        )
+        if dataset is None and dataset_folder is not None:
+            dataset = Dataset.create(config, folder=dataset_folder)
+        if checkpoint_file is not None:
+            checkpoint = load_checkpoint(checkpoint_file)
+            job = Job.create_from(checkpoint, new_config=config)
+        else:
+            job = Job.create(config, dataset=dataset)
+        job.parent_job = parent_job
+        job.run()
+
+        # locate the best validation trace entry for the search trace
+        valid_trace = getattr(job, "valid_trace", [])
+        metric_name = config.get("valid.metric")
+        best_entry = None
+        trace_info = None
+        if valid_trace:
+            metric_max = config.get("valid.metric_max")
+            values = [t.get(metric_name, float("nan")) for t in valid_trace]
+            values = np.asarray(values, dtype=float)
+            idx = int(np.nanargmax(values) if metric_max else
+                      np.nanargmin(values))
+            best_entry = dict(valid_trace[idx])
+            trace_info = dict(
+                train_job_id=job.job_id,
+                folder=config.folder,
+                metric_value=float(values[idx]),
+                metric_name=metric_name,
+                **{k: v for k, v in kwargs.items()},
+            )
+        del job
+        gc.collect()
+        return (trial_no, best_entry, None, trace_info)
+    except BaseException as e:
+        config.log(f"Trial {trial_str} failed: {e!r}")
+        if on_error == "continue":
+            return (trial_no, None, None, None)
+        raise
 
 
 class ManualSearchJob(SearchJob):
@@ -202,9 +317,10 @@ class ManualSearchJob(SearchJob):
             return None
 
         for task in tasks:
-            self.submit_task(lambda t=task: self._run_train_job(t))
+            self.submit_task(task)
         while self._running:
             self.wait_task()
+        self.close_workers()
 
         # summarize
         results = sorted(self.ready_task_results, key=lambda r: r[0])
@@ -432,7 +548,7 @@ class AutoSearchJob(SearchJob):
             self.save(self.config.checkpoint_file(1))
 
             task = (trial_no, trial_config, folder, parameters)
-            self.submit_task(lambda t=task: self._run_train_job(t))
+            self.submit_task(task)
             # adaptive proposals need earlier results; non-adaptive phases
             # (e.g. the Sobol prefix) keep the worker pool saturated
             next_no = trial_no + 1
@@ -448,6 +564,7 @@ class AutoSearchJob(SearchJob):
         while self._running:
             self.wait_task()
             self._collect_ready_results()
+        self.close_workers()
 
         best_params, best_value = self.get_best_parameters()
         self.config.log(

@@ -62,6 +62,37 @@ def test_manual_search():
     assert len(done) >= 2
 
 
+def test_manual_search_multi_worker():
+    """Trials run in spawned worker processes pinned to devices from
+    search.device_pool (reference kge/job/search.py:36-97)."""
+    config = make_search_config(
+        "manual_search",
+        **{
+            "search.num_workers": 2,
+            "search.device_pool": ["cpu", "cpu"],
+            "manual_search.configurations": [
+                {"folder": "lr01", "train.optimizer.default.args.lr": 0.1},
+                {"folder": "lr02", "train.optimizer.default.args.lr": 0.2},
+                {"folder": "lr03", "train.optimizer.default.args.lr": 0.3},
+            ],
+        },
+    )
+    dataset = get_test_dataset(config)
+    job = Job.create(config, dataset)
+    results = job.run()
+    assert len(results) == 3
+    assert all(r[1] is not None for r in results)
+    for sub in ("lr01", "lr02", "lr03"):
+        assert os.path.isfile(os.path.join(config.folder, sub, "trace.yaml"))
+    # each worker claimed a distinct device slot from the pool
+    lock_dir = os.path.join(config.folder, ".device_locks")
+    assert len(os.listdir(lock_dir)) == 2
+    # the search trace records every trial (written by the parent process)
+    entries = [yaml.safe_load(line) for line in open(config.tracefile())]
+    done = [e for e in entries if e.get("event") == "search_completed"]
+    assert len(done) >= 3
+
+
 def test_grid_search():
     config = make_search_config(
         "grid_search",
