@@ -19,6 +19,7 @@ from kge_tpu.dataset import Dataset
 from kge_tpu.job.job import Job
 from kge_tpu.job.train import TrainingJob
 from kge_tpu.models import Ctx
+from kge_tpu.ops.pick import picked_scores, picked_scores_grouped
 from kge_tpu.ops.sampler import SLOT_STR, KgeSampler
 
 S, P, O = 0, 1, 2
@@ -32,6 +33,8 @@ class TrainingJobNegativeSampling(TrainingJob):
         self._sampler = KgeSampler.create(config, "negative_sampling", dataset)
         self._sampler.seed(self._rng_seed ^ 0x7A11)
         self.type_str_value = "negative_sampling"
+        # test hook: exercise the grouped-score pick path off-TPU
+        self._force_grouped_all = False
 
         if self.__class__ == TrainingJobNegativeSampling:
             for f in Job.job_created_hooks:
@@ -172,15 +175,15 @@ class TrainingJobNegativeSampling(TrainingJob):
         # scanning requires on-device sampling (no host arrays per batch)
         if not self._on_device:
             return None
-        # per-row sample extraction from the batch x vocab score matrix
-        # ("all"/"batch" with non-shared negatives): measured on v5e the
-        # scanned epoch matches the pipelined per-batch path (~135k
-        # triples/s either way — the per-row gather/scatter dominates both)
-        # but costs ~15x more compile time (190s vs 14s); dispatch these
-        # epochs batch-by-batch. (CPU scanning compiles fast — keep it.)
+        # "batch" with non-shared negatives scores an [n, n*num] matrix;
+        # its scanned epoch costs ~15x more compile time (190s vs 14s) for
+        # equal throughput — dispatch batch-by-batch on TPU. ("all" used to
+        # be excluded too when the per-row score extraction dominated
+        # either way; with the gather-free grouped pick the scanned epoch
+        # removes ~1.5 ms/batch of dispatch idle — keep it scanned.)
         if (
             not self._sampler.shared
-            and self._implementation in ("all", "batch")
+            and self._implementation == "batch"
             and jax.default_backend() == "tpu"
         ):
             return None
@@ -310,7 +313,7 @@ class TrainingJobNegativeSampling(TrainingJob):
                 return jnp.where(replace, spare[:, None], neg)
             if f"neg_gather_{slot}" in batch:
                 gather = batch[f"neg_gather_{slot}"]
-                return jnp.take_along_axis(all_scores, gather, axis=1)
+                return picked_scores(all_scores, gather)
             return all_scores[:, :num]
         samples = batch[f"neg_samples_{slot}"]
         if self._implementation == "triple":
@@ -318,13 +321,36 @@ class TrainingJobNegativeSampling(TrainingJob):
             # corrupted slot gathers n*num table rows
             return self.model.score_spo_neg(params, triples, samples, slot, ctx)
         elif self._implementation == "all":
+            if jax.default_backend() == "tpu" or self._force_grouped_all:
+                # grouped layout: the all-candidates matmul emits scores
+                # directly in the [n, G, 128] tiling the pick consumes
+                grouped = self.model.score_slot_all_grouped(
+                    params, triples, slot, ctx
+                )
+                if grouped is not None:
+                    return picked_scores_grouped(grouped, samples)
             all_scores = self._score_targets(params, triples, slot, None, ctx)
-            return jnp.take_along_axis(all_scores, samples, axis=1)
+            return picked_scores(all_scores, samples)
         else:  # batch: score against all samples occurring in the batch
             targets = samples.reshape(-1)
             all_scores = self._score_targets(params, triples, slot, targets, ctx)
             cols = jnp.arange(n * num).reshape(n, num)
             return jnp.take_along_axis(all_scores, cols, axis=1)
+
+    def _grouped_multi_eligible(self) -> bool:
+        """The embed-once grouped path draws embedding dropout once per
+        slot instead of once per scoring call; engage it only when no
+        embedder dropout is configured (per-call-draw parity otherwise)."""
+        if not (jax.default_backend() == "tpu" or self._force_grouped_all):
+            return False
+        if getattr(self, "_grouped_multi_ok", None) is None:
+            self._grouped_multi_ok = all(
+                getattr(emb, "dropout", 0.0) == 0.0
+                for emb in (
+                    self.model._entity_embedder, self.model._relation_embedder
+                )
+            )
+        return self._grouped_multi_ok
 
     def _score_targets(self, params, triples, slot, targets, ctx: Ctx):
         if slot == S:
@@ -400,13 +426,35 @@ class TrainingJobNegativeSampling(TrainingJob):
                 )
         total = 0.0
         aux = {}
+        grouped_multi = None
+        if (
+            self._implementation == "all"
+            and self._grouped_multi_eligible()
+            and all(
+                f"neg_samples_{slot}" in batch for slot in self._active_slots
+            )
+        ):
+            # embed-once fast path: positives and every slot's grouped
+            # all-candidate scores from one embedding of the batch rows
+            grouped_multi = self.model.score_all_grouped_multi(
+                params, triples, self._active_slots, ctx.fold(7)
+            )
         for i, slot in enumerate(self._active_slots):
             sctx = ctx.fold(100 + slot)
-            pos = self.model.score_spo(
-                params, triples[:, S], triples[:, P], triples[:, O],
-                direction=SLOT_STR[slot], ctx=sctx.fold(1),
-            ).reshape(-1, 1)
-            neg = self._score_negatives(params, triples, slot, batch, sctx.fold(2))
+            if grouped_multi is not None:
+                pos_flat, S3 = grouped_multi[slot]
+                pos = pos_flat.reshape(-1, 1)
+                neg = picked_scores_grouped(
+                    S3, batch[f"neg_samples_{slot}"]
+                )
+            else:
+                pos = self.model.score_spo(
+                    params, triples[:, S], triples[:, P], triples[:, O],
+                    direction=SLOT_STR[slot], ctx=sctx.fold(1),
+                ).reshape(-1, 1)
+                neg = self._score_negatives(
+                    params, triples, slot, batch, sctx.fold(2)
+                )
             scores = jnp.concatenate([pos, neg], axis=1)
             labels = jnp.zeros(scores.shape[0], dtype=jnp.int32)
             # mask padded rows by neutralizing their scores (0 loss rows would

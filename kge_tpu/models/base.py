@@ -240,6 +240,23 @@ class RelationalScorer(KgeBase):
             raise ValueError(f'cannot handle combine="{combine}"')
         return out.reshape(n, -1)
 
+    def factorize_slot(
+        self, params: Params, s_emb, p_emb, o_emb, slot: int, ctx: Ctx
+    ):
+        """Optional (query, target_map) factorization of slot scoring.
+
+        For scorers whose score against candidates c of ``slot`` is
+        ``query . target_map(c_emb)`` (one dot product), returns the
+        per-row query [n, d'] built from the two kept slots (whose
+        embeddings are given; the corrupted slot's entry is None) and a
+        candidate-embedding map (None = identity). Callers can then score
+        against a whole vocabulary with one dot_general in any output
+        layout — e.g. the grouped [n, ceil(V/128), 128] layout that feeds
+        the gather-free per-row pick (ops/pick.py). None (default) when
+        the scorer doesn't factorize (ConvE, Transformer, distance
+        models)."""
+        return None
+
     def score_emb_neg(
         self, params: Params, s_emb, p_emb, o_emb, slot: int, ctx: Ctx
     ) -> jax.Array:
@@ -982,6 +999,97 @@ class KgeModel(KgeBase):
             self._scorer_params(params), all_entities, p_emb, o_emb, "_po", ctx.fold(6)
         )
         return jnp.concatenate([sp_scores, po_scores], axis=1)
+
+    def score_slot_all_grouped(self, params: Params, triples, slot: int,
+                               ctx: Ctx = EVAL_CTX):
+        """Scores of every row against ALL candidates of ``slot``, in the
+        grouped layout [n, ceil(V/128), 128] (vocab zero-padded to a
+        multiple of 128).
+
+        Same values as score_po/score_so/score_sp with targets=None, but
+        the score matrix is produced NATIVELY in the tiled layout that the
+        gather-free per-row pick (ops/pick.py) consumes — a [n, V] →
+        [n, G, 128] reshape is a physical retile on TPU (the sublane dim
+        changes), measured ~1.7 ms/step at FB15k-237 exact-NegSamp shapes.
+        Returns None when the scorer has no query/target factorization;
+        callers fall back to the flat path."""
+        embedders = (
+            self.get_s_embedder(), self.get_p_embedder(), self.get_o_embedder()
+        )
+        tables = ("entity_embedder", "relation_embedder", "entity_embedder")
+        embs = [None, None, None]
+        for i in range(3):
+            if i != slot:
+                embs[i] = embedders[i].embed(
+                    params[tables[i]], triples[:, i], ctx.fold(1 + i)
+                )
+        fac = self._scorer.factorize_slot(
+            self._scorer_params(params), embs[0], embs[1], embs[2], slot,
+            ctx.fold(4),
+        )
+        if fac is None:
+            return None
+        q, target_map = fac
+        t = embedders[slot].embed_all(params[tables[slot]], ctx.fold(3))
+        if target_map is not None:
+            t = target_map(t)
+        num = t.shape[0]
+        padded = -(-num // 128) * 128
+        if padded != num:
+            t = jnp.pad(t, ((0, padded - num), (0, 0)))
+        t3 = t.reshape(padded // 128, 128, t.shape[-1])
+        return jax.lax.dot_general(q, t3, (((1,), (2,)), ((), ())))
+
+    def score_all_grouped_multi(self, params: Params, triples, slots,
+                                ctx: Ctx = EVAL_CTX):
+        """{slot: (pos [n], grouped [n, G, 128])} for several corrupted
+        slots, embedding each triple slot ONCE.
+
+        The per-slot path (score_spo + score_slot_all_grouped per slot)
+        embeds the batch rows up to 10 times; every embed's backward is a
+        separate XLA scatter-add into the dense table gradient (measured
+        1.85 ms/batch at FB15k-237 exact-NegSamp shapes — scatters don't
+        CSE the way the forward gathers do). Here s/p/o are embedded once
+        and positives + all per-slot queries are derived from the shared
+        arrays, leaving one scatter per table slot. Embedding dropout is
+        drawn once per slot (not once per scoring call) — callers gate on
+        dropout being off to keep per-call-draw parity with the flat path.
+        Returns None when the scorer doesn't factorize."""
+        embedders = (
+            self.get_s_embedder(), self.get_p_embedder(), self.get_o_embedder()
+        )
+        tables = ("entity_embedder", "relation_embedder", "entity_embedder")
+        sparams = self._scorer_params(params)
+        embs = [
+            embedders[i].embed(params[tables[i]], triples[:, i], ctx.fold(1 + i))
+            for i in range(3)
+        ]
+        pos = self._scorer.score_emb_spo(
+            sparams, embs[0], embs[1], embs[2], ctx.fold(4)
+        )
+        out = {}
+        for slot in slots:
+            kept = [e if i != slot else None for i, e in enumerate(embs)]
+            fac = self._scorer.factorize_slot(
+                sparams, kept[0], kept[1], kept[2], slot, ctx.fold(5 + slot)
+            )
+            if fac is None:
+                return None
+            q, target_map = fac
+            t = embedders[slot].embed_all(
+                params[tables[slot]], ctx.fold(8 + slot)
+            )
+            if target_map is not None:
+                t = target_map(t)
+            num = t.shape[0]
+            padded = -(-num // 128) * 128
+            if padded != num:
+                t = jnp.pad(t, ((0, padded - num), (0, 0)))
+            t3 = t.reshape(padded // 128, 128, t.shape[-1])
+            out[slot] = (
+                pos, jax.lax.dot_general(q, t3, (((1,), (2,)), ((), ())))
+            )
+        return out
 
     def prepare_job(self, job, **kwargs):
         super().prepare_job(job, **kwargs)

@@ -48,6 +48,13 @@ class DistMultScorer(RelationalScorer):
             return _neg_dot(s_emb * o_emb, p_emb)
         return _neg_dot(s_emb * p_emb, o_emb)
 
+    def factorize_slot(self, params, s_emb, p_emb, o_emb, slot, ctx):
+        if slot == 0:
+            return o_emb * p_emb, None
+        if slot == 1:
+            return s_emb * o_emb, None
+        return s_emb * p_emb, None
+
 
 class DistMult(KgeModel):
     def __init__(self, config, dataset, configuration_key=None,
@@ -122,6 +129,25 @@ class ComplExScorer(RelationalScorer):
         u_im = s_re * p_im + s_im * p_re
         return _neg_dot(jnp.concatenate([u_re, u_im], axis=1), o_emb)
 
+    def factorize_slot(self, params, s_emb, p_emb, o_emb, slot, ctx):
+        if slot == 0:
+            p_re, p_im = self._split(p_emb)
+            o_re, o_im = self._split(o_emb)
+            w_re = p_re * o_re + p_im * o_im
+            w_im = p_im * o_re - p_re * o_im
+            return jnp.concatenate([w_re, -w_im], axis=1), None
+        if slot == 1:
+            s_re, s_im = self._split(s_emb)
+            o_re, o_im = self._split(o_emb)
+            v_re = s_re * o_re + s_im * o_im
+            v_im = s_re * o_im - s_im * o_re
+            return jnp.concatenate([v_re, v_im], axis=1), None
+        s_re, s_im = self._split(s_emb)
+        p_re, p_im = self._split(p_emb)
+        u_re = s_re * p_re - s_im * p_im
+        u_im = s_re * p_im + s_im * p_re
+        return jnp.concatenate([u_re, u_im], axis=1), None
+
 
 class ComplEx(KgeModel):
     def __init__(self, config, dataset, configuration_key=None,
@@ -165,6 +191,16 @@ class RescalScorer(RelationalScorer):
         if slot == 0:
             return _neg_dot(jnp.einsum("nde,ne->nd", p_mix, o_emb), s_emb)
         return _neg_dot(jnp.einsum("nd,nde->ne", s_emb, p_mix), o_emb)
+
+    def factorize_slot(self, params, s_emb, p_emb, o_emb, slot, ctx):
+        if slot == 1:
+            pairwise = jnp.einsum("nd,ne->nde", s_emb, o_emb)
+            return pairwise.reshape(s_emb.shape[0], -1), None
+        ent_dim = (o_emb if slot == 0 else s_emb).shape[-1]
+        p_mix = p_emb.reshape(-1, ent_dim, ent_dim)
+        if slot == 0:
+            return jnp.einsum("nde,ne->nd", p_mix, o_emb), None
+        return jnp.einsum("nd,nde->ne", s_emb, p_mix), None
 
 
 def _set_relation_dim_to_square(config: Config, model_self) -> None:
@@ -217,6 +253,16 @@ class CPScorer(RelationalScorer):
         if slot == 1:
             return _neg_dot(s_emb[:, :half] * o_emb[:, half:], p_emb)
         return _neg_dot(s_emb[:, :half] * p_emb, o_emb[:, :, half:])
+
+    def factorize_slot(self, params, s_emb, p_emb, o_emb, slot, ctx):
+        if slot == 0:
+            half = o_emb.shape[-1] // 2
+            return o_emb[:, half:] * p_emb, lambda t: t[:, : t.shape[-1] // 2]
+        if slot == 1:
+            half = s_emb.shape[-1] // 2
+            return s_emb[:, :half] * o_emb[:, half:], None
+        half = s_emb.shape[-1] // 2
+        return s_emb[:, :half] * p_emb, lambda t: t[:, t.shape[-1] // 2:]
 
 
 class CP(KgeModel):
@@ -281,6 +327,22 @@ class SimplEScorer(RelationalScorer):
         p_fwd, p_bwd = jnp.split(p_emb, 2, axis=1)
         q = jnp.concatenate([s_t * p_bwd, s_h * p_fwd], axis=1)
         return _neg_dot(q / 2.0, o_emb)
+
+    def factorize_slot(self, params, s_emb, p_emb, o_emb, slot, ctx):
+        if slot == 0:
+            p_fwd, p_bwd = jnp.split(p_emb, 2, axis=1)
+            o_h, o_t = jnp.split(o_emb, 2, axis=1)
+            q = jnp.concatenate([p_fwd * o_t, p_bwd * o_h], axis=1)
+            return q / 2.0, None
+        if slot == 1:
+            s_h, s_t = jnp.split(s_emb, 2, axis=1)
+            o_h, o_t = jnp.split(o_emb, 2, axis=1)
+            q = jnp.concatenate([s_h * o_t, s_t * o_h], axis=1)
+            return q / 2.0, None
+        s_h, s_t = jnp.split(s_emb, 2, axis=1)
+        p_fwd, p_bwd = jnp.split(p_emb, 2, axis=1)
+        q = jnp.concatenate([s_t * p_bwd, s_h * p_fwd], axis=1)
+        return q / 2.0, None
 
 
 class SimplE(KgeModel):

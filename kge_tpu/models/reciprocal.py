@@ -104,6 +104,45 @@ class ReciprocalRelationsModel(KgeModel):
             "The reciprocal relations model cannot score relations."
         )
 
+    def score_all_grouped_multi(self, params, triples, slots,
+                                ctx: Ctx = EVAL_CTX):
+        """Each slot maps to a direction-specific base query: o-corruption
+        scores (s, p, ?) directly, s-corruption scores (o, p+|R|, ?); the
+        per-slot positives differ accordingly (direction semantics of
+        score_spo)."""
+        out = {}
+        for slot in slots:
+            if slot == 2:
+                sub = self._base_model.score_all_grouped_multi(
+                    params, triples, [2], ctx.fold(20)
+                )
+            elif slot == 0:
+                swapped = jnp.stack(
+                    [triples[:, 2],
+                     triples[:, 1] + self.dataset.num_relations(),
+                     triples[:, 0]], axis=1,
+                )
+                sub = self._base_model.score_all_grouped_multi(
+                    params, swapped, [2], ctx.fold(21)
+                )
+            else:
+                return None
+            if sub is None:
+                return None
+            out[slot] = sub[2]
+        return out
+
+    def score_slot_all_grouped(self, params, triples, slot, ctx: Ctx = EVAL_CTX):
+        if slot == 2:
+            return self._base_model.score_slot_all_grouped(params, triples, 2, ctx)
+        if slot == 0:
+            swapped = jnp.stack(
+                [triples[:, 2], triples[:, 1] + self.dataset.num_relations(),
+                 triples[:, 0]], axis=1,
+            )
+            return self._base_model.score_slot_all_grouped(params, swapped, 2, ctx)
+        return None
+
     def score_sp(self, params, s, p, o=None, ctx: Ctx = EVAL_CTX):
         return self._base_model.score_sp(params, s, p, o, ctx)
 
