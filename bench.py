@@ -7,7 +7,8 @@ Measures, in priority order within a wall-clock budget:
 2. ``negsamp_perrow``  — 128 per-row negatives via the pooled sampler
    (exact per-row marginals; see negative_sampling.implementation "pool")
 3. ``negsamp_perrow_exact`` — 128 per-row negatives, implementation "all"
-   (fully independent rows, the reference's exact semantics)
+   (fully independent rows, the reference's exact semantics; gather-free
+   grouped score picks, ops/pick.py)
 4. ``kvsall``          — full-vocabulary KvsAll queries/s
 5. ``eval_filtered``   — filtered entity-ranking triples/s
 
@@ -18,21 +19,29 @@ metric plus an ``extra`` dict holding the remaining workloads.
 LibKGE GPU figure (the reference publishes no throughput numbers;
 BASELINE.md targets >=10x a GPU baseline).
 
-Robustness against driver timeouts (round-2 lesson: BENCH_r02 recorded
-rc=124 and no number): a persistent XLA compilation cache under
-$KGE_CACHE (default ~/.cache/kge_tpu/jax) makes warmup compiles ~free on
-re-runs, stages are skipped when the remaining budget (KGE_BENCH_BUDGET,
-default 540s) is too small, and a SIGTERM handler prints the JSON line
-with whatever has been measured before the process dies.
+Budget strategy (round-3 lesson: one cold whole-epoch-scan compile took
+748s of a 540s budget and every later stage was skipped): the persistent
+XLA compilation cache under $KGE_CACHE is the primary defense, and a
+stamp file records WHICH full stages have compiled executables for the
+CURRENT source tree. Stages whose full (scanned) variant is warm run
+directly; cold stages first run a cheap-compiling "quick" variant
+(per-batch dispatch, 1+1 epochs) so every workload lands a number, and
+only upgrade to the full variant when the remaining budget could absorb a
+cold whole-epoch compile. A SIGTERM/SIGINT handler prints the JSON line
+with whatever has been measured. To pre-warm after hot-path changes:
+``KGE_BENCH_BUDGET=100000 python bench.py`` (see scripts/warm_bench.sh).
 """
 
+import glob
+import hashlib
 import json
 import os
 import signal
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
 
 CACHE_ROOT = os.environ.get(
     "KGE_CACHE", os.path.expanduser("~/.cache/kge_tpu")
@@ -55,10 +64,56 @@ NUM_NEG = 128
 
 DEADLINE = time.time() + float(os.environ.get("KGE_BENCH_BUDGET", "540"))
 RESULTS = {}
+NOTES = {}
+STAMP_FILE = os.path.join(CACHE_ROOT, "bench_stamp.json")
+
+# how long a COLD compile of each variant may take (measured v5e, with
+# margin); a stage is attempted only when the remaining budget exceeds
+# the allowance for the coldest thing it might compile
+COLD_FULL_ALLOWANCE = 900   # whole-epoch scanned executables
+COLD_QUICK_ALLOWANCE = 180  # per-batch step executables
+WARM_ALLOWANCE = 75         # cache hit + dataset/index setup + timed epochs
 
 
 def remaining():
     return DEADLINE - time.time()
+
+
+def source_fingerprint() -> str:
+    h = hashlib.sha256()
+    files = sorted(
+        glob.glob(os.path.join(REPO, "kge_tpu", "**", "*.py"), recursive=True)
+    ) + [os.path.join(REPO, "bench.py"), os.path.join(REPO, "__graft_entry__.py")]
+    for f in files:
+        try:
+            with open(f, "rb") as fh:
+                h.update(f.encode())
+                h.update(fh.read())
+        except OSError:
+            pass
+    return h.hexdigest()
+
+
+def load_stamp(fp: str):
+    try:
+        with open(STAMP_FILE) as f:
+            stamp = json.load(f)
+        if stamp.get("fingerprint") == fp:
+            return set(stamp.get("full_stages", []))
+    except (OSError, ValueError):
+        pass
+    return set()
+
+
+def save_stamp(fp: str, full_stages):
+    try:
+        with open(STAMP_FILE + ".tmp", "w") as f:
+            json.dump(
+                {"fingerprint": fp, "full_stages": sorted(full_stages)}, f
+            )
+        os.replace(STAMP_FILE + ".tmp", STAMP_FILE)
+    except OSError:
+        pass
 
 
 def emit_and_exit(signum=None, frame=None):
@@ -70,7 +125,10 @@ def emit_and_exit(signum=None, frame=None):
 
 def result_line():
     headline = RESULTS.get("negsamp_shared")
-    extra = {k: v for k, v in RESULTS.items() if k != "negsamp_shared"}
+    extra = {
+        k: round(v, 1) for k, v in RESULTS.items() if k != "negsamp_shared"
+    }
+    extra.update(NOTES)
     return {
         "metric": "negsamp_triples_per_sec_per_chip",
         "value": round(headline, 1) if headline else None,
@@ -78,7 +136,7 @@ def result_line():
         "vs_baseline": (
             round(headline / BASELINE_TRIPLES_PER_SEC, 3) if headline else None
         ),
-        "extra": {k: round(v, 1) for k, v in extra.items()},
+        "extra": extra,
     }
 
 
@@ -128,8 +186,9 @@ def build_job(overrides=()):
 
 
 def timed_epoch_groups(job, epochs):
-    """(warmup_seconds, triples_per_second) over one warm + one timed group
-    of the same size (the group executable is cached per size)."""
+    """(warmup_seconds, triples_per_second, last_trace) over one warm + one
+    timed group of the same size (the group executable is cached per
+    size)."""
     t0 = time.time()
     job.run_epoch_group(epochs)
     warmup = time.time() - t0
@@ -139,35 +198,40 @@ def timed_epoch_groups(job, epochs):
     return warmup, traces[-1]["size"] * epochs / dt, traces[-1]
 
 
-def stage_negsamp(name, overrides, epochs=4):
+def stage_negsamp(name, overrides, epochs=4, quick=False):
+    if quick:
+        overrides = tuple(overrides) + (("train.epoch_scan", "never"),)
+        epochs = 1
     job = build_job(overrides)
     job._prepare()
     job._is_prepared = True
     warmup, tps, trace = timed_epoch_groups(job, epochs)
-    RESULTS[name] = tps
+    RESULTS[name] = max(tps, RESULTS.get(name, 0.0))
     sys.stderr.write(
-        f"bench[{name}]: {tps/1e6:.2f}M triples/s "
+        f"bench[{name}{' quick' if quick else ''}]: {tps/1e6:.2f}M triples/s "
         f"(warmup {warmup:.0f}s, avg_loss {trace['avg_loss']:.4f}, "
         f"scanned={trace.get('scanned', False)})\n"
     )
 
 
-def stage_kvsall():
-    job = build_job((
-        ("train.type", "KvsAll"),
-        ("train.batch_size", 512),
-    ))
+def stage_kvsall(quick=False):
+    overrides = [("train.type", "KvsAll"), ("train.batch_size", 512)]
+    if quick:
+        overrides.append(("train.epoch_scan", "never"))
+    job = build_job(tuple(overrides))
     job._prepare()
     job._is_prepared = True
-    warmup, qps, trace = timed_epoch_groups(job, 2)
-    RESULTS["kvsall_queries_per_sec"] = qps
+    warmup, qps, trace = timed_epoch_groups(job, 1 if quick else 2)
+    RESULTS["kvsall_queries_per_sec"] = max(
+        qps, RESULTS.get("kvsall_queries_per_sec", 0.0)
+    )
     sys.stderr.write(
-        f"bench[kvsall]: {qps/1e3:.0f}k queries/s (warmup {warmup:.0f}s, "
-        f"avg_loss {trace['avg_loss']:.4f})\n"
+        f"bench[kvsall{' quick' if quick else ''}]: {qps/1e3:.0f}k queries/s "
+        f"(warmup {warmup:.0f}s, avg_loss {trace['avg_loss']:.4f})\n"
     )
 
 
-def stage_eval():
+def stage_eval(quick=False):
     from kge_tpu import Dataset
     from kge_tpu.job import EvaluationJob
     from kge_tpu.models import KgeModel
@@ -189,11 +253,49 @@ def stage_eval():
     trace = job._evaluate()
     dt = time.time() - t0
     tps = NUM_VALID / dt
-    RESULTS["eval_filtered_triples_per_sec"] = tps
+    RESULTS["eval_filtered_triples_per_sec"] = max(
+        tps, RESULTS.get("eval_filtered_triples_per_sec", 0.0)
+    )
     sys.stderr.write(
         f"bench[eval]: {tps/1e3:.1f}k triples/s (warmup {warmup:.0f}s, "
         f"mrr_filt {trace.get('mean_reciprocal_rank_filtered', -1):.4f})\n"
     )
+
+
+# (key, result name, full runner, quick runner); priority order
+STAGES = [
+    (
+        "negsamp_shared",
+        "negsamp_shared",
+        lambda quick=False: stage_negsamp(
+            "negsamp_shared",
+            (("negative_sampling.shared", True),
+             ("negative_sampling.shared_type", "default")),
+            quick=quick,
+        ),
+    ),
+    (
+        "negsamp_perrow",
+        "negsamp_perrow_triples_per_sec",
+        lambda quick=False: stage_negsamp(
+            "negsamp_perrow_triples_per_sec",
+            (("negative_sampling.implementation", "pool"),),
+            quick=quick,
+        ),
+    ),
+    (
+        "negsamp_perrow_exact",
+        "negsamp_perrow_exact_triples_per_sec",
+        lambda quick=False: stage_negsamp(
+            "negsamp_perrow_exact_triples_per_sec",
+            (("negative_sampling.implementation", "all"),),
+            epochs=2,
+            quick=quick,
+        ),
+    ),
+    ("kvsall", "kvsall_queries_per_sec", stage_kvsall),
+    ("eval", "eval_filtered_triples_per_sec", stage_eval),
+]
 
 
 def main():
@@ -210,36 +312,57 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
-    # (stage fn, rough cold-compile allowance in seconds)
-    stages = [
-        ("negsamp_shared", lambda: stage_negsamp(
-            "negsamp_shared",
-            (("negative_sampling.shared", True),
-             ("negative_sampling.shared_type", "default")),
-        ), 60),
-        ("negsamp_perrow", lambda: stage_negsamp(
-            "negsamp_perrow_triples_per_sec",
-            (("negative_sampling.implementation", "pool"),),
-        ), 50),
-        ("kvsall", stage_kvsall, 50),
-        ("eval", stage_eval, 50),
-        ("negsamp_perrow_exact", lambda: stage_negsamp(
-            "negsamp_perrow_exact_triples_per_sec",
-            (("negative_sampling.implementation", "all"),),
-            epochs=2,
-        ), 80),
-    ]
-    for name, fn, floor in stages:
-        if remaining() < floor:
-            sys.stderr.write(
-                f"bench: skipping {name} ({remaining():.0f}s left)\n"
-            )
-            continue
-        try:
-            fn()
-        except Exception as e:  # a failed stage must not kill the line
-            sys.stderr.write(f"bench: stage {name} failed: {e!r}\n")
+    if jax.device_count() == 1:
+        NOTES["multichip"] = (
+            "unavailable (1 chip): >=80% 1->N scaling is unmeasurable here; "
+            "multi-chip correctness is validated by the virtual-mesh dryrun "
+            "(MULTICHIP json) and the two-process test suite"
+        )
 
+    fp = source_fingerprint()
+    warm_stages = load_stamp(fp)
+    if not warm_stages:
+        sys.stderr.write(
+            "bench: compile cache COLD for this source tree — quick "
+            "variants first, full upgrades if budget allows\n"
+        )
+        NOTES["compile_cache"] = "cold"
+
+    def attempt(key, fn, allowance, label, quick=False):
+        if remaining() < allowance:
+            sys.stderr.write(
+                f"bench: skipping {key} {label} ({remaining():.0f}s left, "
+                f"needs {allowance}s)\n"
+            )
+            return False
+        try:
+            fn(quick=quick)
+            return True
+        except Exception as e:  # a failed stage must not kill the line
+            sys.stderr.write(f"bench: stage {key} {label} failed: {e!r}\n")
+            return False
+
+    # pass 1: warm full stages directly; cold stages via the quick variant
+    for key, _result, fn in STAGES:
+        if key in warm_stages:
+            if not attempt(key, fn, WARM_ALLOWANCE, "full(warm)", quick=False):
+                warm_stages.discard(key)
+        elif key == "eval":
+            # eval has a single modestly-compiling variant
+            if attempt(key, lambda quick=False: stage_eval(), 150, "full"):
+                warm_stages.add(key)
+        else:
+            attempt(key, fn, COLD_QUICK_ALLOWANCE, "quick", quick=True)
+
+    # pass 2: upgrade cold stages to the full scanned variant while the
+    # budget could absorb a cold whole-epoch compile
+    for key, _result, fn in STAGES:
+        if key in warm_stages or key == "eval":
+            continue
+        if attempt(key, fn, COLD_FULL_ALLOWANCE, "full(cold)", quick=False):
+            warm_stages.add(key)
+
+    save_stamp(fp, warm_stages)
     emit_and_exit()
 
 

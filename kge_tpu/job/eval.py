@@ -81,7 +81,13 @@ class EvaluationJob(TrainingOrEvaluationJob):
                 None,
                 dict(config=self.config, math=math, **trace_entry),
             )
-        trace_entry = self.trace(**trace_entry, echo=True, echo_prefix="  ", log=True)
+        trace_entry = self.trace(**trace_entry, echo=False, log=True)
+        from kge_tpu.job.trace import format_trace_entry
+
+        self.config.log(
+            format_trace_entry("eval_epoch", trace_entry, self.config),
+            prefix="  ",
+        )
         return trace_entry
 
     def _evaluate(self) -> Dict[str, Any]:

@@ -122,3 +122,21 @@ class Trace:
             return False
 
         return [e for e in entries if keep(e)]
+
+
+def format_trace_entry(format_key: str, trace_entry: Dict[str, Any], config) -> str:
+    """Console rendering of a trace entry (reference kge/job/trace.py:257-273):
+    the ``console.format.<format_key>`` expression — a Python expression with
+    access to ``trace``, ``config`` and every entry key — evaluated over the
+    entry, or the full yaml dump when no expression is configured."""
+    try:
+        expr = config.get("console.format." + format_key)
+    except KeyError:
+        expr = ""
+    if expr:
+        return eval(
+            expr,
+            dict(yaml=yaml),
+            dict(config=config, trace=trace_entry, **trace_entry),
+        )
+    return yaml.dump(trace_entry, default_flow_style=False)

@@ -820,6 +820,12 @@ class TrainingJob(TrainingOrEvaluationJob):
         for f in self.post_epoch_hooks:
             f(self)
         trace_entry = self.trace(**self.current_trace["epoch"], echo=False, log=True)
+        from kge_tpu.job.trace import format_trace_entry
+
+        self.config.log(
+            format_trace_entry("train_epoch", trace_entry, self.config),
+            prefix="  ",
+        )
         self.current_trace["epoch"] = None
         return trace_entry
 
@@ -853,6 +859,7 @@ class TrainingJob(TrainingOrEvaluationJob):
 
         epoch_start = time.time()
         num_batches = 0
+        total_batches = -(-self.num_examples // self.batch_size)
         prepare_time_total = 0.0
         forward_time_total = 0.0
         #: per-batch device scalars, fetched once at epoch end so the device
@@ -917,6 +924,23 @@ class TrainingJob(TrainingOrEvaluationJob):
                     avg_loss=float(aux["avg_loss"]), cost=float(cost),
                 )
                 self.config.trace(**self.current_trace["batch"])
+            # in-epoch console feedback (reference train.py:502-524); loss
+            # values only under trace_batch — fetching them every batch
+            # would sync the deferred-fetch pipeline
+            self.config.print(
+                "\r{}  batch {}/{}".format(
+                    self.config.log_prefix, num_batches - 1, total_batches - 1
+                )
+                + (
+                    ", avg_loss {:.4E}, cost {:.4E}".format(
+                        float(aux["avg_loss"]), float(cost)
+                    )
+                    if self.trace_batch else ""
+                )
+                + ", time {:6.2f}s\033[K".format(time.time() - epoch_start),
+                end="",
+                flush=True,
+            )
             self.current_trace["batch"] = None
             for f in self.post_batch_hooks:
                 f(self)
@@ -955,6 +979,12 @@ class TrainingJob(TrainingOrEvaluationJob):
         for f in self.post_epoch_hooks:
             f(self)
         trace_entry = self.trace(**self.current_trace["epoch"], echo=False, log=True)
+        from kge_tpu.job.trace import format_trace_entry
+
+        self.config.log(
+            format_trace_entry("train_epoch", trace_entry, self.config),
+            prefix="  ",
+        )
         self.current_trace["epoch"] = None
         return trace_entry
 

@@ -589,11 +589,15 @@ class TrainingJobNegativeSampling(TrainingJob):
         )
         if self._ent_leaf is None or self._rel_leaf is None:
             return False
-        if not (
-            self.optimizer.supports_sparse_rows(self._ent_leaf)
-            and self.optimizer.supports_sparse_rows(self._rel_leaf)
-        ):
-            return False
+        # every table leaf needs either the pure row path (zero-gradient
+        # rows are fixed points: Adagrad/plain SGD) or the fused
+        # dense-semantics kernel (any rule: Adam, weight decay, ...)
+        for leaf in (self._ent_leaf, self._rel_leaf):
+            if not (
+                self.optimizer.supports_sparse_rows(leaf)
+                or self.optimizer.supports_fused_rows(leaf)
+            ):
+                return False
         if mode == "always":
             return True
         # auto: worthwhile when the batch touches <= 1/8 of the entity table
@@ -613,8 +617,14 @@ class TrainingJobNegativeSampling(TrainingJob):
         self._sparse_update = self._sparse_update_eligible()
         if not self._sparse_update:
             return
+        fused_leaves = [
+            leaf for leaf in (self._ent_leaf, self._rel_leaf)
+            if not self.optimizer.supports_sparse_rows(leaf)
+        ]
         self.config.log(
-            "Using row-sparse embedding updates (exact for this optimizer)"
+            "Using row-sparse embedding updates "
+            + ("(fused dense-semantics kernel)" if fused_leaves
+               else "(exact for this optimizer)")
         )
         self._raw_step = self._make_sparse_step()
         donate = (0, 1) if not self.is_forward_only else ()

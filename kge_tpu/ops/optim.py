@@ -71,6 +71,16 @@ def parameter_names(params: Params) -> List[str]:
 # `delta` is the value to *add* to the parameter.
 
 
+def _pow_const(base: float, t):
+    """base ** t for a constant base and traced exponent, as exp(t ln b):
+    Mosaic (the fused row-update kernel, pallas_ops.fused_sorted_update)
+    lowers exp but not powf with a non-constant exponent. ~1 ulp from
+    powf — inside every optimizer's loose (1 - beta^t) bias term."""
+    import math
+
+    return jnp.exp(t * math.log(base))
+
+
 def _wd(grad, param, args):
     wd = args.get("weight_decay", 0.0)
     if wd:
@@ -106,8 +116,8 @@ def _adam_update(grad, state, param, lr, step, args, decoupled=False):
     m = b1 * state["m"] + (1 - b1) * grad
     v = b2 * state["v"] + (1 - b2) * grad * grad
     t = step + 1
-    m_hat = m / (1 - b1 ** t)
-    v_hat = v / (1 - b2 ** t)
+    m_hat = m / (1 - _pow_const(b1, t))
+    v_hat = v / (1 - _pow_const(b2, t))
     delta = -lr * m_hat / (jnp.sqrt(v_hat) + eps)
     if decoupled and wd:
         delta = delta - lr * wd * param
@@ -125,7 +135,7 @@ def _adamax_update(grad, state, param, lr, step, args):
     m = b1 * state["m"] + (1 - b1) * grad
     u = jnp.maximum(b2 * state["u"], jnp.abs(grad) + eps)
     t = step + 1
-    delta = -lr / (1 - b1 ** t) * m / u
+    delta = -lr / (1 - _pow_const(b1, t)) * m / u
     return delta, {"m": m, "u": u}
 
 
@@ -360,6 +370,41 @@ class KgeOptimizer:
             return True
         return False
 
+    def supports_fused_rows(self, leaf_index: int) -> bool:
+        """True when the leaf can take a one-pass dense-semantics update
+        from row gradients (ops/pallas_ops.fused_sorted_update): any table
+        rule with param-shaped state — Adam's moment decay, weight decay
+        etc. are applied to untouched rows via a zero gradient tile,
+        exactly as in the dense step. Complements supports_sparse_rows,
+        which requires zero-gradient rows to be fixed points."""
+        return self.groups[self._labels[leaf_index]].opt_type in _RULES
+
+    def fused_row_update(self, leaf_index: int, param_leaf, state_leaf,
+                         rows, row_grads, lr, step):
+        """Dense-semantics optimizer step of one leaf from row gradients,
+        without materializing the dense gradient: per table tile, the
+        tile's gradient is accumulated from the sorted updates by one-hot
+        MXU matmuls and the elementwise rule runs on the param/state tiles
+        in the same VMEM round trip (fused_sorted_update). Returns
+        (new_param_leaf, new_state_leaf)."""
+        from kge_tpu.ops.pallas_ops import fused_sorted_update
+
+        grp = self.groups[self._labels[leaf_index]]
+        update_fn = _RULES[grp.opt_type][1]
+        keys = sorted(state_leaf.keys())
+        states = tuple(state_leaf[k] for k in keys)
+        args = grp.args
+
+        def rule(g, param, state_tuple, lr_, step_):
+            st = dict(zip(keys, state_tuple))
+            delta, new_state = update_fn(g, st, param, lr_, step_, args)
+            return param + delta, tuple(new_state[k] for k in keys)
+
+        new_param, new_states = fused_sorted_update(
+            rows, row_grads, param_leaf, states, lr, step, rule
+        )
+        return new_param, dict(zip(keys, new_states))
+
     def sparse_row_update(self, leaf_index: int, param_leaf, state_leaf,
                           rows, row_grads, lr, step):
         """Update only the given (possibly duplicate) rows of one leaf;
@@ -416,9 +461,14 @@ class KgeOptimizer:
             grp = self.groups[label]
             if i in sparse:
                 rows, row_grads = sparse[i]
-                p_new, s_new = self.sparse_row_update(
-                    i, p_leaf, s_leaf, rows, row_grads, lr[label], step
-                )
+                if self.supports_sparse_rows(i):
+                    p_new, s_new = self.sparse_row_update(
+                        i, p_leaf, s_leaf, rows, row_grads, lr[label], step
+                    )
+                else:
+                    p_new, s_new = self.fused_row_update(
+                        i, p_leaf, s_leaf, rows, row_grads, lr[label], step
+                    )
                 new_params.append(p_new)
                 new_states.append(s_new)
                 continue

@@ -85,3 +85,82 @@ def test_rows_set_fallback_matches_scatter():
     got = pallas_ops.rows_set(table, ids, rows, interpret=True)
     want = table.at[ids].set(rows)
     assert np.allclose(got, want)
+
+
+@pytest.mark.parametrize("opt_type", ["adam", "adagrad", "adamw"])
+def test_fused_sorted_update_matches_dense_rule(opt_type):
+    """fused_sorted_update == dense [scatter-add grad + optimizer rule]
+    for dense-semantics rules (Adam moments decay on untouched rows)."""
+    from kge_tpu.ops.optim import _RULES
+    from kge_tpu.ops.pallas_ops import fused_sorted_update
+
+    rng = np.random.default_rng(hash(opt_type) % 2**31)
+    E, D, B = 700, 128, 900
+    args = {"weight_decay": 0.01} if opt_type != "adamw" else {
+        "weight_decay": 0.01, "betas": (0.9, 0.999)}
+    init_fn, update_fn, _ = _RULES[opt_type]
+    param = jnp.asarray(rng.normal(size=(E, D)).astype(np.float32))
+    state = init_fn(param, args)
+    # non-trivial state so decay effects on untouched rows are visible
+    state = {k: jnp.asarray(rng.random((E, D)).astype(np.float32)) * 0.1
+             for k in state}
+    ids = jnp.asarray(rng.integers(0, E, B))
+    upd = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
+    lr, step = 0.05, 3.0
+
+    keys = sorted(state.keys())
+
+    def rule(g, p, st_tuple, lr_, step_):
+        st = dict(zip(keys, st_tuple))
+        delta, new_state = update_fn(g, st, p, lr_, step_, args)
+        return p + delta, tuple(new_state[k] for k in keys)
+
+    got_p, got_states = fused_sorted_update(
+        ids, upd, param, tuple(state[k] for k in keys), lr, step, rule,
+        interpret=True,
+    )
+    g_dense = jnp.zeros_like(param).at[ids].add(upd)
+    want_p, want_states = rule(
+        g_dense, param, tuple(state[k] for k in keys), lr, step
+    )
+    assert np.allclose(got_p, want_p, atol=1e-5), \
+        float(jnp.abs(got_p - want_p).max())
+    for g_s, w_s in zip(got_states, want_states):
+        assert np.allclose(g_s, w_s, atol=1e-5)
+
+
+def test_sparse_update_trajectory_matches_dense_adam():
+    """3 epochs of NegSamp training with Adam: the row-sparse step (which
+    routes table updates through fused_sorted_update) must track the
+    standard dense step."""
+    from tests.util import get_test_config, get_test_dataset
+    from kge_tpu.job import TrainingJob
+
+    losses = {}
+    for mode in ("never", "always"):
+        config = get_test_config()
+        config.load_options({"model": "complex"})
+        config.set_all({
+            "train.type": "negative_sampling",
+            "negative_sampling.num_samples.s": 2,
+            "negative_sampling.num_samples.o": 2,
+            "train.optimizer.default.type": "Adam",
+            "train.optimizer.default.args.+++": "override",
+            "train.optimizer.default.args.lr": 0.01,
+            "train.optimizer.default.args.weight_decay": 0.01,
+            "train.max_epochs": 3,
+            "train.batch_size": 6,
+            "train.sparse_embedding_update": mode,
+            "valid.every": 0,
+            "complex.entity_embedder.dim": 8,
+            "complex.relation_embedder.dim": 8,
+        }, create=True)
+        dataset = get_test_dataset(config)
+        job = TrainingJob.create(config, dataset)
+        traces = job.run_epoch_group(3)
+        if mode == "always":
+            assert job._sparse_update, "sparse path did not engage for Adam"
+        losses[mode] = [t["avg_loss"] for t in traces]
+    np.testing.assert_allclose(
+        losses["always"], losses["never"], rtol=2e-4
+    )

@@ -496,3 +496,27 @@ def test_sparse_update_with_shared_negatives():
                        rtol=1e-5, atol=1e-6)
     assert np.allclose(results["never"][1], results["always"][1],
                        rtol=1e-5, atol=1e-6)
+
+
+def test_console_format_expression_applied(capsys):
+    """console.format.train_epoch renders epoch trace entries on the console
+    (reference kge/job/trace.py:257-273)."""
+    from tests.util import get_test_config, get_test_dataset
+    from kge_tpu.job import TrainingJob
+
+    config = get_test_config()
+    config.load_options({"model": "complex"})
+    config.set_all({
+        "train.type": "negative_sampling",
+        "train.max_epochs": 1,
+        "train.batch_size": 6,
+        "valid.every": 0,
+        "console.quiet": False,
+        "console.format.train_epoch":
+            "f\"EPOCH_FMT epoch={epoch} loss={avg_loss:.2f}\"",
+    }, create=True)
+    dataset = get_test_dataset(config)
+    job = TrainingJob.create(config, dataset)
+    job.run_epoch_group(1)
+    out = capsys.readouterr().out
+    assert "EPOCH_FMT epoch=1 loss=" in out
