@@ -224,13 +224,15 @@ class TrainingJob(TrainingOrEvaluationJob):
     def _prepare(self):
         """Prepare data, parameters, optimizer, and the jitted step."""
         super()._prepare()
-        self.model.prepare_job(self)
 
         from kge_tpu.parallel.mesh import DeviceCtx
 
         self.device_ctx = DeviceCtx.create(
             self.config, batch_divisor=self.batch_size
         )
+        # after the mesh: prepare_job hands models the device context
+        # (e.g. the ring-scoring mesh)
+        self.model.prepare_job(self)
 
         # pallas embedding-gather gradient (single-device TPU only: pallas
         # calls do not auto-partition over a mesh)

@@ -940,6 +940,10 @@ class KgeModel(KgeBase):
 
     def score_sp(self, params: Params, s, p, o=None, ctx: Ctx = EVAL_CTX) -> jax.Array:
         """Scores of (s_i, p_i, *) against all (or the given) objects; [n, m]."""
+        if o is None:
+            ring = self._ring_score(params, s, p, 2, ctx)
+            if ring is not None:
+                return ring
         s_emb = self.get_s_embedder().embed(params["entity_embedder"], s, ctx.fold(1))
         p_emb = self.get_p_embedder().embed(params["relation_embedder"], p, ctx.fold(2))
         if o is None:
@@ -953,6 +957,10 @@ class KgeModel(KgeBase):
     def score_po(self, params: Params, p, o, s=None, ctx: Ctx = EVAL_CTX) -> jax.Array:
         """Scores of (*, p_i, o_i) against all (or the given) subjects; [n, m]."""
         if s is None:
+            ring = self._ring_score(params, o, p, 0, ctx)
+            if ring is not None:
+                return ring
+        if s is None:
             s_emb = self.get_s_embedder().embed_all(params["entity_embedder"], ctx.fold(1))
         else:
             s_emb = self.get_s_embedder().embed(params["entity_embedder"], s, ctx.fold(1))
@@ -960,6 +968,66 @@ class KgeModel(KgeBase):
         o_emb = self.get_o_embedder().embed(params["entity_embedder"], o, ctx.fold(3))
         return self._scorer.score_emb(
             self._scorer_params(params), s_emb, p_emb, o_emb, "_po", ctx.fold(4)
+        )
+
+    def _ring_score(self, params: Params, ent_ids, rel_ids, slot: int,
+                    ctx: Ctx):
+        """Model-sharded full-vocabulary scoring via the explicit
+        ppermute-ring schedule (parallel/ring.py), or None when not
+        engaged (no model-axis sharding, parallel.ring_scoring=never,
+        non-lookup embedders, embedding dropout in train mode, scorer
+        params, or a non-factorizing scorer)."""
+        mesh = getattr(self, "_ring_mesh", None)
+        if mesh is None:
+            return None
+        if self.config.check(
+            "parallel.ring_scoring", ["auto", "never"]
+        ) == "never":
+            return None
+        ent_embedder = self.get_s_embedder()
+        rel_embedder = self.get_p_embedder()
+        if type(ent_embedder) is not LookupEmbedder:
+            return None
+        if ctx.train and (
+            ent_embedder.dropout > 0 or rel_embedder.dropout > 0
+        ):
+            # the ring bypasses embed(); keep per-call dropout semantics
+            return None
+        sparams = self._scorer_params(params)
+        if sparams:
+            return None  # scorer params don't flow through shard_map here
+        table = params["entity_embedder"]["embeddings"]
+        if table.shape[0] % mesh.shape["model"] != 0:
+            return None
+        cdtype = ent_embedder.compute_dtype
+        rel_emb = rel_embedder.embed(
+            params["relation_embedder"], rel_ids, ctx.fold(2)
+        )
+        # probe the (static) factorization: query builder + target map
+        dummy_e = jnp.zeros((1, table.shape[-1]), cdtype)
+        dummy_r = jnp.zeros((1, rel_emb.shape[-1]), rel_emb.dtype)
+        args = (dummy_e, dummy_r, None) if slot == 2 else (None, dummy_r, dummy_e)
+        fac = self._scorer.factorize_slot({}, *args, slot, ctx.fold(4))
+        if fac is None:
+            return None
+        tmap = fac[1]
+
+        scorer = self._scorer
+
+        def make_query(rows, rel):
+            rows = rows.astype(cdtype)
+            a = (rows, rel, None) if slot == 2 else (None, rel, rows)
+            return scorer.factorize_slot({}, *a, slot, ctx.fold(4))[0]
+
+        def map_targets(tbl):
+            t = tbl.astype(cdtype)
+            return tmap(t) if tmap is not None else t
+
+        from kge_tpu.parallel.ring import ring_all_scores
+
+        return ring_all_scores(
+            mesh, table, jnp.asarray(ent_ids), rel_emb, make_query,
+            map_targets,
         )
 
     def score_so(self, params: Params, s, o, p=None, ctx: Ctx = EVAL_CTX) -> jax.Array:
@@ -981,6 +1049,11 @@ class KgeModel(KgeBase):
         Used by chunked entity-ranking evaluation
         (reference kge_model.py:749-789).
         """
+        if entity_subset is None:
+            sp_ring = self._ring_score(params, s, p, 2, ctx.fold(5))
+            po_ring = self._ring_score(params, o, p, 0, ctx.fold(6))
+            if sp_ring is not None and po_ring is not None:
+                return jnp.concatenate([sp_ring, po_ring], axis=1)
         s_emb = self.get_s_embedder().embed(params["entity_embedder"], s, ctx.fold(1))
         p_emb = self.get_p_embedder().embed(params["relation_embedder"], p, ctx.fold(2))
         o_emb = self.get_o_embedder().embed(params["entity_embedder"], o, ctx.fold(3))
@@ -1095,3 +1168,10 @@ class KgeModel(KgeBase):
         super().prepare_job(job, **kwargs)
         self._entity_embedder.prepare_job(job, **kwargs)
         self._relation_embedder.prepare_job(job, **kwargs)
+        device_ctx = getattr(job, "device_ctx", None)
+        if (
+            device_ctx is not None
+            and device_ctx.active
+            and device_ctx.mesh.shape.get("model", 1) > 1
+        ):
+            self._ring_mesh = device_ctx.mesh

@@ -94,18 +94,53 @@ def generate_dataset(folder, seed=0):
     return folder
 
 
-RECIPE = {
-    "train.type": "1vsAll",
-    "train.loss": "kl",
-    "train.batch_size": 512,
-    "train.optimizer.default.type": "Adagrad",
-    "train.optimizer.default.args.lr": 0.2,
+# Recipes mirror the BASELINE "Reference configs" row (scaled to the
+# synthetic graph): the ComplEx 1vsAll+KL headline, TransE NegSamp with
+# margin ranking, and RotatE with self-adversarial BCE.
+RECIPES = {
+    "complex-1vsAll-kl": {
+        "model": "complex",
+        "options": {
+            "train.type": "1vsAll",
+            "train.loss": "kl",
+            "train.batch_size": 512,
+            "train.optimizer.default.type": "Adagrad",
+            "train.optimizer.default.args.lr": 0.2,
+        },
+    },
+    "transe-negsamp-margin": {
+        "model": "transe",
+        "options": {
+            "train.type": "negative_sampling",
+            "train.loss": "margin_ranking",
+            "train.loss_arg": 4.0,
+            "train.batch_size": 512,
+            "negative_sampling.num_samples.s": 32,
+            "train.optimizer.default.type": "Adagrad",
+            "train.optimizer.default.args.lr": 0.1,
+        },
+    },
+    "rotate-negsamp-selfadv": {
+        "model": "rotate",
+        "options": {
+            "train.type": "negative_sampling",
+            "train.loss": "bce_self_adversarial",
+            "train.loss_arg": 0.0,
+            "train.batch_size": 512,
+            "negative_sampling.num_samples.s": 32,
+            "train.optimizer.default.type": "Adam",
+            "train.optimizer.default.args.lr": 0.001,
+        },
+    },
+}
+
+BASE_OPTIONS = {
     "valid.every": 0,
     "console.quiet": True,
 }
 
 
-def run_reference(folder, epochs, dim, workdir):
+def run_reference(folder, epochs, dim, workdir, recipe_name):
     sys.path.insert(0, "/root/reference")
     from libkge_stub import install
 
@@ -114,19 +149,20 @@ def run_reference(folder, epochs, dim, workdir):
     from kge import Config as RefConfig, Dataset as RefDataset
     from kge.job import EvaluationJob as RefEvaluationJob, Job as RefJob
 
+    recipe = RECIPES[recipe_name]
     torch.manual_seed(11)
     config = RefConfig()
     config.set("console.quiet", True)
     config.set("job.device", "cpu")
-    config.set("model", "complex")
-    config._import("complex")
+    config._import(recipe["model"])
+    config.set("model", recipe["model"])
     config.set("dataset.name", os.path.basename(folder))
-    for k, v in RECIPE.items():
+    for k, v in {**BASE_OPTIONS, **recipe["options"]}.items():
         config.set(k, v)
     config.set("lookup_embedder.dim", dim)
     config.set("train.max_epochs", epochs)
     config.set("eval.split", "test")
-    config.folder = os.path.join(workdir, "ref_exp")
+    config.folder = os.path.join(workdir, f"ref_exp_{recipe_name}")
     config.init_folder()
     dataset = RefDataset.create(config, folder=folder)
     job = RefJob.create(config, dataset)
@@ -140,22 +176,23 @@ def run_reference(folder, epochs, dim, workdir):
     return trace, train_time
 
 
-def run_ours(folder, epochs, dim, workdir):
+def run_ours(folder, epochs, dim, workdir, recipe_name):
     from kge_tpu import Config, Dataset
     from kge_tpu.job import EvaluationJob, TrainingJob
 
+    recipe = RECIPES[recipe_name]
     config = Config()
     config.set("console.quiet", True)
     config.set("job.device", "cpu")
-    config.load_options({"model": "complex"})
+    config.load_options({"model": recipe["model"]})
     config.set("dataset.name", os.path.basename(folder))
-    for k, v in RECIPE.items():
+    for k, v in {**BASE_OPTIONS, **recipe["options"]}.items():
         config.set(k, v)
     config.set("lookup_embedder.dim", dim)
     config.set("train.max_epochs", epochs)
     config.set("eval.split", "test")
     config.set("random_seed.default", 11)
-    config.folder = os.path.join(workdir, "our_exp")
+    config.folder = os.path.join(workdir, f"our_exp_{recipe_name}")
     config.init_folder()
     from kge_tpu.utils.seed import apply_device_config, seed_from_config
 
@@ -178,12 +215,70 @@ def run_ours(folder, epochs, dim, workdir):
     return trace, train_time, traces
 
 
+def run_recipe(args, folder, recipe_name):
+    """One recipe through both frameworks; returns a result dict."""
+    our_trace, our_time, epoch_traces = run_ours(
+        folder, args.epochs, args.dim, args.workdir, recipe_name
+    )
+    print(
+        f"[{recipe_name}] ours: MRR_filt "
+        f"{our_trace['mean_reciprocal_rank_filtered']:.4f} in {our_time:.0f}s",
+        flush=True,
+    )
+    ref_trace, ref_time = run_reference(
+        folder, args.epochs, args.dim, args.workdir, recipe_name
+    )
+    print(
+        f"[{recipe_name}] reference: MRR_filt "
+        f"{ref_trace['mean_reciprocal_rank_filtered']:.4f} in {ref_time:.0f}s",
+        flush=True,
+    )
+    return dict(
+        name=recipe_name, our=our_trace, ref=ref_trace,
+        our_time=our_time, ref_time=ref_time,
+        last_loss=epoch_traces[-1]["avg_loss"],
+    )
+
+
+def recipe_section(r):
+    keys = ["mean_reciprocal_rank_filtered", "mean_reciprocal_rank",
+            "hits_at_1_filtered", "hits_at_3_filtered", "hits_at_10_filtered"]
+    rows = "\n".join(
+        f"| {k} | {r['ref'][k]:.4f} | {r['our'][k]:.4f} | "
+        f"{abs(r['ref'][k] - r['our'][k]):.4f} |"
+        for k in keys
+    )
+    delta = abs(
+        r["ref"]["mean_reciprocal_rank_filtered"]
+        - r["our"]["mean_reciprocal_rank_filtered"]
+    )
+    recipe = RECIPES[r["name"]]
+    opts = ", ".join(f"{k.split('.')[-1]}={v}"
+                     for k, v in recipe["options"].items())
+    return f"""
+## {r['name']}
+
+Model `{recipe['model']}`; {opts}.
+
+| metric (test) | LibKGE (torch CPU) | kge_tpu | abs diff |
+|---|---|---|---|
+{rows}
+
+Filtered MRR diff = **{delta:.4f}** (gate analogue: 0.002). Train time:
+reference {r['ref_time']:.0f}s vs kge_tpu {r['our_time']:.0f}s on the same
+CPU host. Last-epoch train loss (ours): {r['last_loss']:.4f}.
+""", delta
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=40)
     ap.add_argument("--dim", type=int, default=128)
     ap.add_argument("--workdir", default="/tmp/kge_quality")
-    ap.add_argument("--skip-reference", action="store_true")
+    ap.add_argument(
+        "--recipes", nargs="*", default=list(RECIPES.keys()),
+        choices=list(RECIPES.keys()),
+    )
     args = ap.parse_args()
 
     os.makedirs(args.workdir, exist_ok=True)
@@ -191,35 +286,9 @@ def main():
     generate_dataset(folder)
     print("dataset generated", flush=True)
 
-    our_trace, our_time, epoch_traces = run_ours(
-        folder, args.epochs, args.dim, args.workdir
-    )
-    print(
-        f"ours: MRR_filt {our_trace['mean_reciprocal_rank_filtered']:.4f} "
-        f"in {our_time:.0f}s", flush=True,
-    )
+    results = [run_recipe(args, folder, name) for name in args.recipes]
+    sections, deltas = zip(*(recipe_section(r) for r in results))
 
-    if args.skip_reference:
-        return
-    ref_trace, ref_time = run_reference(
-        folder, args.epochs, args.dim, args.workdir
-    )
-    print(
-        f"reference: MRR_filt {ref_trace['mean_reciprocal_rank_filtered']:.4f} "
-        f"in {ref_time:.0f}s", flush=True,
-    )
-
-    keys = ["mean_reciprocal_rank_filtered", "mean_reciprocal_rank",
-            "hits_at_1_filtered", "hits_at_3_filtered", "hits_at_10_filtered"]
-    rows = "\n".join(
-        f"| {k} | {ref_trace[k]:.4f} | {our_trace[k]:.4f} | "
-        f"{abs(ref_trace[k] - our_trace[k]):.4f} |"
-        for k in keys
-    )
-    delta = abs(
-        ref_trace["mean_reciprocal_rank_filtered"]
-        - our_trace["mean_reciprocal_rank_filtered"]
-    )
     with open(os.path.join(REPO, "QUALITY.md"), "w") as f:
         f.write(f"""# Quality reproduction study
 
@@ -240,22 +309,18 @@ sampled from the teacher's softmax. {E} entities / {R} relations /
 {N_TRAIN} train, {N_VALID} valid, {N_TEST} test triples. Reproduce with
 `python scripts/quality_study.py` (same fixed seeds).
 
-**Recipe (identical for both).** ComplEx d={args.dim}, 1vsAll, KL loss,
-Adagrad lr 0.2, batch 512, {args.epochs} epochs, no early stopping; filtered
-entity ranking on test (each framework's own eval pipeline — they agree to
-1e-9 on shared weights, see `test_entity_ranking_parity`).
+**Recipes (identical settings for both frameworks, d={args.dim},
+{args.epochs} epochs, no early stopping).** Filtered entity ranking on
+test with each framework's own eval pipeline — they agree to 1e-9 on
+shared weights (`test_entity_ranking_parity`). Random-guess MRR on this
+graph is ~{(1/E)*np.log(E):.4f}.
 
-| metric (test) | LibKGE (torch CPU) | kge_tpu | abs diff |
-|---|---|---|---|
-{rows}
-
-Headline: **filtered MRR diff = {delta:.4f}** (gate analogue: 0.002; random
--guess MRR on this graph is ~{(1/E)*np.log(E):.4f}). Train time:
-reference {ref_time:.0f}s vs kge_tpu {our_time:.0f}s on the same CPU host.
-
-Last-epoch train loss (ours): {epoch_traces[-1]['avg_loss']:.4f}.
-""")
-    print(f"QUALITY.md written (diff {delta:.4f})", flush=True)
+Headline: **max filtered-MRR diff over recipes = {max(deltas):.4f}**
+(gate analogue: 0.002).
+{''.join(sections)}""")
+    print(
+        f"QUALITY.md written (max diff {max(deltas):.4f})", flush=True
+    )
 
 
 if __name__ == "__main__":

@@ -190,3 +190,44 @@ def test_partitioned_edges_independent_of_model_axis(synth_folder):
         traces = job.run_epoch_group(2)
         losses[model_axis] = [round(t["avg_loss"], 5) for t in traces]
     assert losses[1] == losses[2]
+
+
+def test_ring_scoring_engages_and_matches(synth_folder):
+    """parallel.ring_scoring=auto routes model-sharded full-vocab scoring
+    through the explicit ppermute ring (parallel/ring.py); results must
+    match GSPMD's default schedule (each row's query part is nonzero on
+    exactly one shard, so the ring sum is bit-exact)."""
+    import jax.numpy as jnp
+
+    from kge_tpu.models.base import EVAL_CTX
+
+    results = {}
+    for mode in ("auto", "never"):
+        job = make_job(
+            synth_folder, 2, 4, train_type="1vsAll",
+            **{"parallel.ring_scoring": mode},
+        )
+        job._prepare()
+        job._is_prepared = True
+        ring_out = job.model._ring_score(
+            job.model_params,
+            jnp.arange(8, dtype=jnp.int32),
+            jnp.zeros(8, dtype=jnp.int32),
+            2,
+            EVAL_CTX,
+        )
+        if mode == "auto":
+            assert ring_out is not None, "ring did not engage on model mesh"
+            flat = job.model.score_sp(
+                job.model_params,
+                jnp.arange(8, dtype=jnp.int32),
+                jnp.zeros(8, dtype=jnp.int32),
+            )
+            np.testing.assert_allclose(
+                np.asarray(ring_out), np.asarray(flat), rtol=0, atol=0
+            )
+        else:
+            assert ring_out is None
+        job.epoch = 1
+        results[mode] = job.run_epoch()["avg_loss"]
+    np.testing.assert_allclose(results["auto"], results["never"], rtol=1e-6)
