@@ -331,11 +331,21 @@ class TrainingJobNegativeSampling(TrainingJob):
                     return picked_scores_grouped(grouped, samples)
             all_scores = self._score_targets(params, triples, slot, None, ctx)
             return picked_scores(all_scores, samples)
-        else:  # batch: score against all samples occurring in the batch
-            targets = samples.reshape(-1)
-            all_scores = self._score_targets(params, triples, slot, targets, ctx)
-            cols = jnp.arange(n * num).reshape(n, num)
-            return jnp.take_along_axis(all_scores, cols, axis=1)
+        else:
+            # batch: score against the DISTINCT targets occurring in the
+            # batch, then pick each row's own columns — the reference's
+            # dedup semantics (kge/util/sampler.py:307-344) under static
+            # shapes via size-bounded jnp.unique (the unique count is
+            # capped by min(n*num, vocab); padding slots repeat target 0,
+            # whose scores are computed but never picked)
+            flat = samples.reshape(-1)
+            vocab = int(self._sampler.vocabulary_size[slot])
+            uniq, inv = jnp.unique(
+                flat, size=min(flat.shape[0], vocab), fill_value=0,
+                return_inverse=True,
+            )
+            all_scores = self._score_targets(params, triples, slot, uniq, ctx)
+            return picked_scores(all_scores, inv.reshape(n, num))
 
     def _grouped_multi_eligible(self) -> bool:
         """The embed-once grouped path draws embedding dropout once per

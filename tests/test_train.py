@@ -520,3 +520,31 @@ def test_console_format_expression_applied(capsys):
     job.run_epoch_group(1)
     out = capsys.readouterr().out
     assert "EPOCH_FMT epoch=1 loss=" in out
+
+
+def test_batch_implementation_matches_all_and_triple():
+    """'batch' (static-shape in-batch dedup, reference sampler.py:307-344),
+    'all', and 'triple' must produce identical per-epoch losses — they
+    compute the same (row, sample) dot products through different target
+    sets."""
+    from tests.util import get_test_config, get_test_dataset
+    from kge_tpu.job import TrainingJob
+
+    losses = {}
+    for impl in ("triple", "batch", "all"):
+        config = get_test_config()
+        config.load_options({"model": "complex"})
+        config.set_all({
+            "train.type": "negative_sampling",
+            "negative_sampling.implementation": impl,
+            "negative_sampling.num_samples.s": 5,
+            "negative_sampling.num_samples.o": 5,
+            "train.max_epochs": 1,
+            "train.batch_size": 6,
+            "valid.every": 0,
+        }, create=True)
+        dataset = get_test_dataset(config)
+        job = TrainingJob.create(config, dataset)
+        losses[impl] = job.run_epoch_group(1)[0]["avg_loss"]
+    np.testing.assert_allclose(losses["batch"], losses["all"], rtol=1e-5)
+    np.testing.assert_allclose(losses["batch"], losses["triple"], rtol=1e-5)
