@@ -339,6 +339,15 @@ class TrainingJobNegativeSampling(TrainingJob):
             # capped by min(n*num, vocab); padding slots repeat target 0,
             # whose scores are computed but never picked)
             flat = samples.reshape(-1)
+            if batch.get("__localized__"):
+                # localized (mini-table) batches: sample ids are already
+                # distinct arange positions, and the id space is the
+                # mini-table, not the vocabulary — dedup is an identity
+                all_scores = self._score_targets(
+                    params, triples, slot, flat, ctx
+                )
+                cols = jnp.arange(n * num).reshape(n, num)
+                return picked_scores(all_scores, cols)
             vocab = int(self._sampler.vocabulary_size[slot])
             uniq, inv = jnp.unique(
                 flat, size=min(flat.shape[0], vocab), fill_value=0,
@@ -536,6 +545,7 @@ class TrainingJobNegativeSampling(TrainingJob):
             else:
                 ent_off = off
         batch["triples"] = jnp.stack(local_triples, axis=1)
+        batch["__localized__"] = True  # ids are mini-table positions now
         return (
             batch,
             jnp.concatenate([a.reshape(-1) for a in ent_ids]),
