@@ -289,7 +289,7 @@ STAGES = [
         lambda quick=False: stage_negsamp(
             "negsamp_perrow_exact_triples_per_sec",
             (("negative_sampling.implementation", "all"),),
-            epochs=2,
+            epochs=3,
             quick=quick,
         ),
     ),

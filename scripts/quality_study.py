@@ -116,6 +116,11 @@ RECIPES = {
             "train.loss_arg": 4.0,
             "train.batch_size": 512,
             "negative_sampling.num_samples.s": 32,
+            # distance models have no sp_/_po matmul form; "batch"/"all"
+            # make the reference materialize n x unique pairwise scores
+            # (hours on CPU) — "triple" is the natural implementation for
+            # them in both frameworks
+            "negative_sampling.implementation": "triple",
             "train.optimizer.default.type": "Adagrad",
             "train.optimizer.default.args.lr": 0.1,
         },
@@ -128,6 +133,7 @@ RECIPES = {
             "train.loss_arg": 0.0,
             "train.batch_size": 512,
             "negative_sampling.num_samples.s": 32,
+            "negative_sampling.implementation": "triple",
             "train.optimizer.default.type": "Adam",
             "train.optimizer.default.args.lr": 0.001,
         },
