@@ -302,3 +302,27 @@ def test_grash_search_epoch_variant(tmp_path):
         entries = [yaml.safe_load(line) for line in open(trace_file)]
         resumed = [e for e in entries if e.get("event") == "job_resumed"]
         assert resumed, f"round-1 trial {d} did not resume round 0"
+
+
+def test_device_checkout_is_exclusive(tmp_path):
+    """Worker device checkout claims each pool slot at most once."""
+    from kge_tpu.job.search import _checkout_device
+
+    pool = ["cpu", "cpu", "tpu:0"]
+    lock_dir = str(tmp_path / "locks")
+    claimed = [_checkout_device(pool, lock_dir) for _ in range(4)]
+    assert claimed[:3] == pool
+    assert claimed[3] is None  # pool exhausted
+
+
+def test_pin_device_sets_platform_env(monkeypatch):
+    from kge_tpu.job.search import _pin_device
+
+    monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+    monkeypatch.delenv("TPU_VISIBLE_DEVICES", raising=False)
+    _pin_device("tpu:3")
+    import os
+    assert os.environ["JAX_PLATFORMS"] == "tpu"
+    assert os.environ["TPU_VISIBLE_DEVICES"] == "3"
+    _pin_device("cpu")
+    assert os.environ["JAX_PLATFORMS"] == "cpu"
