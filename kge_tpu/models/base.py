@@ -1114,20 +1114,27 @@ class KgeModel(KgeBase):
         return jax.lax.dot_general(q, t3, (((1,), (2,)), ((), ())))
 
     def score_all_grouped_multi(self, params: Params, triples, slots,
-                                ctx: Ctx = EVAL_CTX):
-        """{slot: (pos [n], grouped [n, G, 128])} for several corrupted
-        slots, embedding each triple slot ONCE.
+                                ctx: Ctx = EVAL_CTX, targets=None):
+        """{slot: (pos [n], scores)} for several corrupted slots,
+        embedding each triple slot ONCE.
 
-        The per-slot path (score_spo + score_slot_all_grouped per slot)
-        embeds the batch rows up to 10 times; every embed's backward is a
+        Without ``targets`` the per-slot scores cover the whole vocabulary
+        in the grouped [n, G, 128] layout (see score_slot_all_grouped);
+        with ``targets`` (a {slot: [m] id array} dict, e.g. the shared
+        negative-sample rows) they are flat [n, m] matrices against those
+        candidates.
+
+        The per-slot path (score_spo + a scoring call per slot) embeds
+        the batch rows up to 10 times; every embed's backward is a
         separate XLA scatter-add into the dense table gradient (measured
-        1.85 ms/batch at FB15k-237 exact-NegSamp shapes — scatters don't
-        CSE the way the forward gathers do). Here s/p/o are embedded once
-        and positives + all per-slot queries are derived from the shared
-        arrays, leaving one scatter per table slot. Embedding dropout is
-        drawn once per slot (not once per scoring call) — callers gate on
-        dropout being off to keep per-call-draw parity with the flat path.
-        Returns None when the scorer doesn't factorize."""
+        1.85 ms/batch exact / ~46% of the shared NegSamp step at
+        FB15k-237 shapes — scatters don't CSE the way the forward
+        gathers do). Here s/p/o are embedded once and positives + all
+        per-slot queries derive from the shared arrays, leaving one
+        scatter per table slot. Embedding dropout is drawn once per slot
+        (not once per scoring call) — callers gate on dropout being off
+        to keep per-call-draw parity with the flat path. Returns None
+        when the scorer doesn't factorize."""
         embedders = (
             self.get_s_embedder(), self.get_p_embedder(), self.get_o_embedder()
         )
@@ -1149,6 +1156,18 @@ class KgeModel(KgeBase):
             if fac is None:
                 return None
             q, target_map = fac
+            slot_targets = None if targets is None else targets.get(slot)
+            if slot_targets is not None:
+                t = embedders[slot].embed(
+                    params[tables[slot]], slot_targets, ctx.fold(8 + slot)
+                )
+                if target_map is not None:
+                    t = target_map(t)
+                out[slot] = (
+                    pos,
+                    jax.lax.dot_general(q, t, (((1,), (1,)), ((), ()))),
+                )
+                continue
             t = embedders[slot].embed_all(
                 params[tables[slot]], ctx.fold(8 + slot)
             )

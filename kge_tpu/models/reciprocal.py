@@ -105,16 +105,20 @@ class ReciprocalRelationsModel(KgeModel):
         )
 
     def score_all_grouped_multi(self, params, triples, slots,
-                                ctx: Ctx = EVAL_CTX):
+                                ctx: Ctx = EVAL_CTX, targets=None):
         """Each slot maps to a direction-specific base query: o-corruption
         scores (s, p, ?) directly, s-corruption scores (o, p+|R|, ?); the
         per-slot positives differ accordingly (direction semantics of
         score_spo)."""
         out = {}
         for slot in slots:
+            slot_targets = (
+                None if targets is None or targets.get(slot) is None
+                else {2: targets[slot]}
+            )
             if slot == 2:
                 sub = self._base_model.score_all_grouped_multi(
-                    params, triples, [2], ctx.fold(20)
+                    params, triples, [2], ctx.fold(20), targets=slot_targets
                 )
             elif slot == 0:
                 swapped = jnp.stack(
@@ -123,7 +127,7 @@ class ReciprocalRelationsModel(KgeModel):
                      triples[:, 0]], axis=1,
                 )
                 sub = self._base_model.score_all_grouped_multi(
-                    params, swapped, [2], ctx.fold(21)
+                    params, swapped, [2], ctx.fold(21), targets=slot_targets
                 )
             else:
                 return None

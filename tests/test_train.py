@@ -548,3 +548,32 @@ def test_batch_implementation_matches_all_and_triple():
         losses[impl] = job.run_epoch_group(1)[0]["avg_loss"]
     np.testing.assert_allclose(losses["batch"], losses["all"], rtol=1e-5)
     np.testing.assert_allclose(losses["batch"], losses["triple"], rtol=1e-5)
+
+
+@pytest.mark.parametrize("shared_type", ["naive", "default"])
+def test_shared_negatives_same_loss_multi_and_per_slot(shared_type):
+    """The embed-once path for shared negatives must trace the same losses
+    as the per-slot scoring path."""
+    from tests.util import get_test_config, get_test_dataset
+    from kge_tpu.job import TrainingJob
+
+    losses = {}
+    for forced in (False, True):
+        config = get_test_config()
+        config.load_options({"model": "complex"})
+        config.set_all({
+            "train.type": "negative_sampling",
+            "negative_sampling.shared": True,
+            "negative_sampling.shared_type": shared_type,
+            "negative_sampling.num_samples.s": 4,
+            "negative_sampling.num_samples.o": 4,
+            "train.max_epochs": 2,
+            "train.batch_size": 6,
+            "valid.every": 0,
+        }, create=True)
+        dataset = get_test_dataset(config)
+        job = TrainingJob.create(config, dataset)
+        job._force_grouped_all = forced
+        traces = job.run_epoch_group(2)
+        losses[forced] = [t["avg_loss"] for t in traces]
+    np.testing.assert_allclose(losses[True], losses[False], rtol=1e-5)
