@@ -13,10 +13,15 @@ same quality. Single-step score/gradient parity is covered separately by
 tests/test_parity_libkge.py.
 
 Usage:  python scripts/quality_study.py [--epochs 40] [--dim 128]
-Writes QUALITY.md at the repo root.
+                                        [--seeds 11 12 13]
+Each (recipe, seed, epochs) result is appended to --results-json
+(default <workdir>/quality_results.json) so runs can be split across
+invocations; QUALITY.md is regenerated from the full accumulated set
+every time (per-seed tables + mean/spread of the filtered-MRR diff).
 """
 
 import argparse
+import json
 import os
 import sys
 import time
@@ -146,7 +151,7 @@ BASE_OPTIONS = {
 }
 
 
-def run_reference(folder, epochs, dim, workdir, recipe_name):
+def run_reference(folder, epochs, dim, workdir, recipe_name, seed=11):
     sys.path.insert(0, "/root/reference")
     from libkge_stub import install
 
@@ -156,7 +161,7 @@ def run_reference(folder, epochs, dim, workdir, recipe_name):
     from kge.job import EvaluationJob as RefEvaluationJob, Job as RefJob
 
     recipe = RECIPES[recipe_name]
-    torch.manual_seed(11)
+    torch.manual_seed(seed)
     config = RefConfig()
     config.set("console.quiet", True)
     config.set("job.device", "cpu")
@@ -168,7 +173,7 @@ def run_reference(folder, epochs, dim, workdir, recipe_name):
     config.set("lookup_embedder.dim", dim)
     config.set("train.max_epochs", epochs)
     config.set("eval.split", "test")
-    config.folder = os.path.join(workdir, f"ref_exp_{recipe_name}")
+    config.folder = os.path.join(workdir, f"ref_exp_{recipe_name}_s{seed}")
     config.init_folder()
     dataset = RefDataset.create(config, folder=folder)
     job = RefJob.create(config, dataset)
@@ -182,7 +187,7 @@ def run_reference(folder, epochs, dim, workdir, recipe_name):
     return trace, train_time
 
 
-def run_ours(folder, epochs, dim, workdir, recipe_name):
+def run_ours(folder, epochs, dim, workdir, recipe_name, seed=11):
     from kge_tpu import Config, Dataset
     from kge_tpu.job import EvaluationJob, TrainingJob
 
@@ -197,8 +202,8 @@ def run_ours(folder, epochs, dim, workdir, recipe_name):
     config.set("lookup_embedder.dim", dim)
     config.set("train.max_epochs", epochs)
     config.set("eval.split", "test")
-    config.set("random_seed.default", 11)
-    config.folder = os.path.join(workdir, f"our_exp_{recipe_name}")
+    config.set("random_seed.default", seed)
+    config.folder = os.path.join(workdir, f"our_exp_{recipe_name}_s{seed}")
     config.init_folder()
     from kge_tpu.utils.seed import apply_device_config, seed_from_config
 
@@ -221,59 +226,114 @@ def run_ours(folder, epochs, dim, workdir, recipe_name):
     return trace, train_time, traces
 
 
-def run_recipe(args, folder, recipe_name):
-    """One recipe through both frameworks; returns a result dict."""
+def run_recipe(args, folder, recipe_name, seed):
+    """One recipe+seed through both frameworks; returns a result dict."""
     our_trace, our_time, epoch_traces = run_ours(
-        folder, args.epochs, args.dim, args.workdir, recipe_name
+        folder, args.epochs, args.dim, args.workdir, recipe_name, seed
     )
     print(
-        f"[{recipe_name}] ours: MRR_filt "
+        f"[{recipe_name} s{seed}] ours: MRR_filt "
         f"{our_trace['mean_reciprocal_rank_filtered']:.4f} in {our_time:.0f}s",
         flush=True,
     )
     ref_trace, ref_time = run_reference(
-        folder, args.epochs, args.dim, args.workdir, recipe_name
+        folder, args.epochs, args.dim, args.workdir, recipe_name, seed
     )
     print(
-        f"[{recipe_name}] reference: MRR_filt "
+        f"[{recipe_name} s{seed}] reference: MRR_filt "
         f"{ref_trace['mean_reciprocal_rank_filtered']:.4f} in {ref_time:.0f}s",
         flush=True,
     )
+    metric_keys = [
+        "mean_reciprocal_rank_filtered", "mean_reciprocal_rank",
+        "hits_at_1_filtered", "hits_at_3_filtered", "hits_at_10_filtered",
+    ]
     return dict(
-        name=recipe_name, our=our_trace, ref=ref_trace,
+        name=recipe_name, seed=seed, epochs=args.epochs, dim=args.dim,
+        our={k: float(our_trace[k]) for k in metric_keys},
+        ref={k: float(ref_trace[k]) for k in metric_keys},
         our_time=our_time, ref_time=ref_time,
-        last_loss=epoch_traces[-1]["avg_loss"],
+        last_loss=float(epoch_traces[-1]["avg_loss"]),
     )
 
 
-def recipe_section(r):
+def load_results(path):
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return []
+
+
+def save_result(path, result):
+    results = load_results(path)
+    results = [
+        r for r in results
+        if not (r["name"] == result["name"] and r["seed"] == result["seed"])
+    ] + [result]
+    with open(path + ".tmp", "w") as f:
+        json.dump(results, f, indent=1)
+    os.replace(path + ".tmp", path)
+    return results
+
+
+def recipe_section(runs):
+    """Section for one recipe over all its seeds: per-seed MRR rows with
+    mean +/- spread, plus the full metric table of the first seed."""
+    runs = sorted(runs, key=lambda r: r["seed"])
     keys = ["mean_reciprocal_rank_filtered", "mean_reciprocal_rank",
             "hits_at_1_filtered", "hits_at_3_filtered", "hits_at_10_filtered"]
-    rows = "\n".join(
-        f"| {k} | {r['ref'][k]:.4f} | {r['our'][k]:.4f} | "
-        f"{abs(r['ref'][k] - r['our'][k]):.4f} |"
+    deltas = [
+        abs(r["ref"]["mean_reciprocal_rank_filtered"]
+            - r["our"]["mean_reciprocal_rank_filtered"])
+        for r in runs
+    ]
+    seed_rows = "\n".join(
+        f"| {r['seed']} | {r['ref']['mean_reciprocal_rank_filtered']:.4f} | "
+        f"{r['our']['mean_reciprocal_rank_filtered']:.4f} | {d:.4f} |"
+        for r, d in zip(runs, deltas)
+    )
+    ours = [r["our"]["mean_reciprocal_rank_filtered"] for r in runs]
+    refs = [r["ref"]["mean_reciprocal_rank_filtered"] for r in runs]
+    r0 = runs[0]
+    metric_rows = "\n".join(
+        f"| {k} | {r0['ref'][k]:.4f} | {r0['our'][k]:.4f} | "
+        f"{abs(r0['ref'][k] - r0['our'][k]):.4f} |"
         for k in keys
     )
-    delta = abs(
-        r["ref"]["mean_reciprocal_rank_filtered"]
-        - r["our"]["mean_reciprocal_rank_filtered"]
-    )
-    recipe = RECIPES[r["name"]]
+    recipe = RECIPES[r0["name"]]
     opts = ", ".join(f"{k.split('.')[-1]}={v}"
                      for k, v in recipe["options"].items())
+    mean_delta = abs(float(np.mean(refs)) - float(np.mean(ours)))
+    spread = (
+        f"Per-framework seed spread (std): reference "
+        f"{np.std(refs):.4f}, kge_tpu {np.std(ours):.4f}. "
+        if len(runs) > 1 else ""
+    )
     return f"""
-## {r['name']}
+## {r0['name']} ({r0['epochs']} epochs, {len(runs)} seed{'s' if len(runs) > 1 else ''})
 
 Model `{recipe['model']}`; {opts}.
 
+| seed | ref MRR_filt | kge_tpu MRR_filt | abs diff |
+|---|---|---|---|
+{seed_rows}
+
+Mean filtered MRR: reference {np.mean(refs):.4f}, kge_tpu
+{np.mean(ours):.4f}; **diff of means = {mean_delta:.4f}** (gate analogue:
+0.002). {spread}Per-seed diffs: mean {np.mean(deltas):.4f}, max
+{max(deltas):.4f}.
+
+Full metrics for seed {r0['seed']}:
+
 | metric (test) | LibKGE (torch CPU) | kge_tpu | abs diff |
 |---|---|---|---|
-{rows}
+{metric_rows}
 
-Filtered MRR diff = **{delta:.4f}** (gate analogue: 0.002). Train time:
-reference {r['ref_time']:.0f}s vs kge_tpu {r['our_time']:.0f}s on the same
-CPU host. Last-epoch train loss (ours): {r['last_loss']:.4f}.
-""", delta
+Train time (seed {r0['seed']}): reference {r0['ref_time']:.0f}s vs kge_tpu
+{r0['our_time']:.0f}s on the same CPU host. Last-epoch train loss (ours):
+{r0['last_loss']:.4f}.
+""", mean_delta
 
 
 def main():
@@ -285,15 +345,38 @@ def main():
         "--recipes", nargs="*", default=list(RECIPES.keys()),
         choices=list(RECIPES.keys()),
     )
+    ap.add_argument("--seeds", nargs="*", type=int, default=[11])
+    ap.add_argument("--results-json", default=None,
+                    help="accumulated results file (default "
+                         "<workdir>/quality_results.json)")
+    ap.add_argument("--md-only", action="store_true",
+                    help="regenerate QUALITY.md from accumulated results "
+                         "without running anything")
     args = ap.parse_args()
+    results_json = args.results_json or os.path.join(
+        args.workdir, "quality_results.json"
+    )
 
     os.makedirs(args.workdir, exist_ok=True)
     folder = os.path.join(args.workdir, "quality_synth")
-    generate_dataset(folder)
-    print("dataset generated", flush=True)
+    if not args.md_only:
+        generate_dataset(folder)
+        print("dataset generated", flush=True)
+        for name in args.recipes:
+            for seed in args.seeds:
+                results = save_result(
+                    results_json, run_recipe(args, folder, name, seed)
+                )
+    else:
+        results = load_results(results_json)
 
-    results = [run_recipe(args, folder, name) for name in args.recipes]
-    sections, deltas = zip(*(recipe_section(r) for r in results))
+    by_recipe = {}
+    for r in results:
+        by_recipe.setdefault(r["name"], []).append(r)
+    sections, deltas = zip(
+        *(recipe_section(runs) for runs in by_recipe.values())
+    )
+    n_seeds = max(len(runs) for runs in by_recipe.values())
 
     with open(os.path.join(REPO, "QUALITY.md"), "w") as f:
         f.write(f"""# Quality reproduction study
@@ -316,16 +399,21 @@ sampled from the teacher's softmax. {E} entities / {R} relations /
 `python scripts/quality_study.py` (same fixed seeds).
 
 **Recipes (identical settings for both frameworks, d={args.dim},
-{args.epochs} epochs, no early stopping).** Filtered entity ranking on
-test with each framework's own eval pipeline — they agree to 1e-9 on
-shared weights (`test_entity_ranking_parity`). Random-guess MRR on this
-graph is ~{(1/E)*np.log(E):.4f}.
+epochs per section below, no early stopping; {n_seeds} training seeds per
+recipe — the dataset is fixed, the model init / sampling / optimizer
+trajectories vary).** Filtered entity ranking on test with each
+framework's own eval pipeline — they agree to 1e-9 on shared weights
+(`test_entity_ranking_parity`). Random-guess MRR on this graph is
+~{(1/E)*np.log(E):.4f}.
 
-Headline: **max filtered-MRR diff over recipes = {max(deltas):.4f}**
-(gate analogue: 0.002).
+Headline: **max |mean(ref) - mean(ours)| filtered-MRR diff over recipes =
+{max(deltas):.4f}** (gate analogue: 0.002). Per-seed diffs and both
+frameworks' own seed spreads are reported per recipe below, so a diff can
+be judged against seed noise.
 {''.join(sections)}""")
     print(
-        f"QUALITY.md written (max diff {max(deltas):.4f})", flush=True
+        f"QUALITY.md written (max diff of means {max(deltas):.4f})",
+        flush=True,
     )
 
 
