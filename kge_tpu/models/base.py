@@ -257,6 +257,20 @@ class RelationalScorer(KgeBase):
         models)."""
         return None
 
+    def pooled_kernel_queries(
+        self, params: Params, s_emb, p_emb, o_emb, slot: int, ctx: Ctx
+    ):
+        """Optional (kind, queries) spec for the fused pooled-distance
+        kernel (ops/dist_pool.py).
+
+        Distance scorers whose per-candidate score is a pure elementwise
+        distance ``-||q - c||`` return the kernel kind ("l1" or "cmod")
+        and the per-row query array(s) built from the two kept slots; the
+        pooled scoring path then runs the fused Pallas kernel instead of
+        materializing [n, k, d] candidates. None (default): no kernel
+        form for this scorer/slot/norm."""
+        return None
+
     def score_emb_neg(
         self, params: Params, s_emb, p_emb, o_emb, slot: int, ctx: Ctx
     ) -> jax.Array:
@@ -929,26 +943,55 @@ class KgeModel(KgeBase):
         # [k, pool_factor, d] grouped pool; cand[i, j] = pool3[j, sel[i, j]]
         pool3 = pool_emb.reshape(k, pool_factor, -1)
         sel_oh = jax.nn.one_hot(sel, pool_factor, dtype=pool_emb.dtype)
-        # HIGHEST keeps the select exact (default MXU precision would round
-        # the candidates to bf16); the contraction is tiny (F terms)
-        cand = jnp.einsum(
-            "njf,jfd->njd", sel_oh, pool3,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        embs = []
-        for i in range(3):
-            if i == slot:
-                embs.append(cand)
-                continue
-            embs.append(
-                embedders[i].embed(
-                    params[tables[i]], triples[:, i], ctx.fold(1 + i)
-                )
+        kept = [
+            None if i == slot else embedders[i].embed(
+                params[tables[i]], triples[:, i], ctx.fold(1 + i)
             )
-        return self._scorer.score_emb_neg(
-            self._scorer_params(params), embs[0], embs[1], embs[2], slot,
-            ctx.fold(4),
-        )
+            for i in range(3)
+        ]
+        sparams = self._scorer_params(params)
+        sctx = ctx.fold(4)
+
+        mode = self.config.get_default("negative_sampling.pooled_kernel")
+        if mode == "always" or (mode == "auto"
+                                and jax.default_backend() == "tpu"):
+            spec = self._scorer.pooled_kernel_queries(
+                sparams, kept[0], kept[1], kept[2], slot, sctx
+            )
+            if spec is not None:
+                kind, queries = spec
+                # measured on v5e (FB15k-237 shapes, 128 negatives, F=8):
+                # the kernel wins everywhere except TransE-style l1 at
+                # d<=128, where XLA's einsum-select path is ~6% ahead
+                # (1.31M vs 1.23M t/s); TransE d=512 0.26M->0.42M, RotatE
+                # d=1024 selfadv 0.09M->0.20M t/s
+                small_l1 = kind == "l1" and queries[0].shape[-1] <= 128
+                if mode == "always" or not small_l1:
+                    from kge_tpu.ops.dist_pool import pooled_dist_scores
+
+                    pools = (
+                        (pool_emb,) if kind == "l1"
+                        else tuple(jnp.split(pool_emb, 2, axis=1))
+                    )
+                    return pooled_dist_scores(
+                        queries, pools, sel, pool_factor, kind
+                    )
+
+        def score_fn(pool3, sel_oh, *kept_embs):
+            # HIGHEST keeps the select exact (default MXU precision would
+            # round the candidates to bf16); the contraction is tiny
+            cand = jnp.einsum(
+                "njf,jfd->njd", sel_oh, pool3,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            embs = [
+                cand if i == slot else kept_embs[i] for i in range(3)
+            ]
+            return self._scorer.score_emb_neg(
+                sparams, embs[0], embs[1], embs[2], slot, sctx
+            )
+
+        return score_fn(pool3, sel_oh, *kept)
 
     def score_sp(self, params: Params, s, p, o=None, ctx: Ctx = EVAL_CTX) -> jax.Array:
         """Scores of (s_i, p_i, *) against all (or the given) objects; [n, m]."""

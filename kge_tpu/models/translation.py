@@ -110,6 +110,19 @@ class TransEScorer(RelationalScorer):
             query, cand = s_emb + p_emb, o_emb
         return -_p_norm(query[:, None, :] - cand, self._norm, axis=2)
 
+    def pooled_kernel_queries(self, params, s_emb, p_emb, o_emb, slot, ctx):
+        # -||s+p-o||_1 is -||q - c||_1 with q from the kept slots for every
+        # corrupted slot (including relations: q = o - s)
+        if self._norm != 1.0:
+            return None
+        if slot == 0:
+            q = o_emb - p_emb
+        elif slot == 1:
+            q = o_emb - s_emb
+        else:
+            q = s_emb + p_emb
+        return "l1", (q,)
+
 
 class TransE(KgeModel):
     def __init__(self, config, dataset, configuration_key=None,
@@ -330,6 +343,21 @@ class RotatEScorer(RelationalScorer):
             d_im = q_im[:, None, :] - c_im
         mod = jnp.sqrt(d_re * d_re + d_im * d_im + 1e-30)
         return -_p_norm_nonneg(mod, self._norm, axis=2)
+
+    def pooled_kernel_queries(self, params, s_emb, p_emb, o_emb, slot, ctx):
+        # -sum_j |q_j - c_j| over complex dims: q = s*r (slot o) or
+        # conj(r)*o (slot s). Relation corruptions multiply the candidate
+        # into s — not a plain difference — so they keep the XLA path.
+        if self._norm != 1.0 or slot == 1:
+            return None
+        p_re, p_im = jnp.cos(p_emb), jnp.sin(p_emb)
+        if slot == 0:
+            o_re, o_im = jnp.split(o_emb, 2, axis=1)
+            q_re, q_im = self._hadamard(p_re, -p_im, o_re, o_im)
+        else:
+            s_re, s_im = jnp.split(s_emb, 2, axis=1)
+            q_re, q_im = self._hadamard(s_re, s_im, p_re, p_im)
+        return "cmod", (q_re, q_im)
 
 
 class RotatE(KgeModel):

@@ -152,3 +152,76 @@ def test_pool_frequency_sampling_marginal():
     cdf = np.asarray(job._sampler._cdf[0])
     expected = np.diff(np.concatenate([[0.0], cdf]))
     np.testing.assert_allclose(freq, expected, atol=0.02)
+
+
+@pytest.mark.parametrize("model,loss", [
+    ("transe", "margin_ranking"), ("rotate", "bce_self_adversarial"),
+])
+def test_pooled_kernel_matches_xla_path(model, loss):
+    """negative_sampling.pooled_kernel=always (fused Pallas kernel,
+    interpreted off-TPU) must reproduce the XLA pooled path's per-batch
+    loss for distance models."""
+    import jax
+    import jax.numpy as jnp
+
+    losses = {}
+    for mode in ("never", "always"):
+        job = make_pool_job(
+            model,
+            **{
+                "train.loss": loss,
+                "negative_sampling.pooled_kernel": mode,
+                "random_seed.default": 5,
+            },
+        )
+        job._prepare()
+        job._is_prepared = True
+        params = job.model_params
+        triples = jnp.asarray(job.triples[:6].astype(np.int32))
+        batch = {
+            "triples": triples,
+            "mask": jnp.ones(6, jnp.float32),
+            "true_size": 6,
+        }
+        loss_val, _ = job._loss_for_batch(params, batch, jax.random.PRNGKey(9))
+        losses[mode] = float(loss_val)
+    assert np.isfinite(losses["always"])
+    np.testing.assert_allclose(losses["always"], losses["never"],
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_pooled_kernel_gradients_match_xla_path():
+    """Gradients through the fused kernel path equal the XLA path's."""
+    import jax
+    import jax.numpy as jnp
+
+    grads = {}
+    for mode in ("never", "always"):
+        job = make_pool_job(
+            "transe",
+            **{
+                "train.loss": "margin_ranking",
+                "negative_sampling.pooled_kernel": mode,
+                "random_seed.default": 5,
+            },
+        )
+        job._prepare()
+        job._is_prepared = True
+        params = job.model_params
+        triples = jnp.asarray(job.triples[:6].astype(np.int32))
+        batch = {
+            "triples": triples,
+            "mask": jnp.ones(6, jnp.float32),
+            "true_size": 6,
+        }
+
+        def loss_fn(p):
+            val, _ = job._loss_for_batch(p, batch, jax.random.PRNGKey(9))
+            return val
+
+        grads[mode] = jax.grad(loss_fn)(params)
+    ga = jax.tree_util.tree_leaves(grads["always"])
+    gn = jax.tree_util.tree_leaves(grads["never"])
+    for a, b in zip(ga, gn):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
