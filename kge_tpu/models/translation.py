@@ -46,6 +46,29 @@ def _p_norm_nonneg(x: jax.Array, p: float, axis: int) -> jax.Array:
 _PAIRWISE_BUDGET_ELEMS = 1 << 25
 
 
+def _l2_expanded(query: jax.Array, targets: jax.Array) -> jax.Array:
+    """-||query_i - target_j||_2 for all pairs via the matmul expansion
+    ||q-t||^2 = ||q||^2 + ||t||^2 - 2 q.t — one MXU matmul instead of the
+    [n, m, d] pairwise VPU reduction (the reference's cdist does the same
+    in its mm mode). Clamped at 0 against cancellation; the epsilon keeps
+    the gradient finite at 0 exactly like the direct-norm path."""
+    cross = query @ targets.T
+    q2 = jnp.sum(query * query, axis=1, keepdims=True)
+    t2 = jnp.sum(targets * targets, axis=1)[None, :]
+    sq = jnp.maximum(q2 + t2 - 2.0 * cross, 0.0)
+    return -jnp.sqrt(sq + 1e-30)
+
+
+def _l2_expanded_neg(query: jax.Array, cand: jax.Array) -> jax.Array:
+    """-||query_i - cand_ij||_2 for per-row candidates [n, k, d]: batched
+    contraction instead of materializing the [n, k, d] diff chain."""
+    cross = jnp.einsum("nd,nkd->nk", query, cand)
+    q2 = jnp.sum(query * query, axis=1, keepdims=True)
+    c2 = jnp.sum(cand * cand, axis=2)
+    sq = jnp.maximum(q2 + c2 - 2.0 * cross, 0.0)
+    return -jnp.sqrt(sq + 1e-30)
+
+
 def _map_over_targets(score_chunk, targets: jax.Array, n: int) -> jax.Array:
     """Apply ``score_chunk(chunk_targets) -> [n, chunk]`` over row-chunks of
     ``targets`` [m, d], sequentially via ``lax.map``, and concatenate to
@@ -66,13 +89,19 @@ def _map_over_targets(score_chunk, targets: jax.Array, n: int) -> jax.Array:
 
 
 class TransEScorer(RelationalScorer):
-    """score = -||s + p - o||_l (reference transe.py:16-36)."""
+    """score = -||s + p - o||_l (reference transe.py:16-36).
 
-    pairwise_many_targets = True  # sp_/_po are VPU reductions, not matmuls
+    For l_norm=2 every many-targets form is one MXU matmul via the L2
+    expansion (``_l2_expanded``); other norms are chunked [n, c, d] VPU
+    reductions."""
 
     def __init__(self, config, dataset, configuration_key=None):
         super().__init__(config, dataset, configuration_key)
         self._norm = float(self.get_option("l_norm"))
+        # L2's many-targets forms ARE matmuls; other norms are pairwise
+        # VPU reductions (callers route those away from matmul-shaped
+        # scoring paths)
+        self.pairwise_many_targets = self._norm != 2.0
 
     def score_emb(self, params, s_emb, p_emb, o_emb, combine, ctx):
         n = p_emb.shape[0]
@@ -80,21 +109,27 @@ class TransEScorer(RelationalScorer):
             out = -_p_norm(s_emb + p_emb - o_emb, self._norm, axis=1)
         elif combine == "sp_":
             query = s_emb + p_emb
+            if self._norm == 2.0:
+                out = _l2_expanded(query, o_emb)
+            else:
+                def chunk_scores(o_chunk):
+                    # [n, 1, d] - [1, c, d], reduced over d
+                    diff = query[:, None, :] - o_chunk[None, :, :]
+                    return -_p_norm(diff, self._norm, axis=2)
 
-            def chunk_scores(o_chunk):
-                # [n, 1, d] - [1, c, d], reduced over d
-                diff = query[:, None, :] - o_chunk[None, :, :]
-                return -_p_norm(diff, self._norm, axis=2)
-
-            out = _map_over_targets(chunk_scores, o_emb, n)
+                out = _map_over_targets(chunk_scores, o_emb, n)
         elif combine == "_po":
             query = o_emb - p_emb
+            if self._norm == 2.0:
+                out = _l2_expanded(query, s_emb)
+            else:
+                def chunk_scores(s_chunk):
+                    diff = query[:, None, :] - s_chunk[None, :, :]
+                    return -_p_norm(diff, self._norm, axis=2)
 
-            def chunk_scores(s_chunk):
-                diff = query[:, None, :] - s_chunk[None, :, :]
-                return -_p_norm(diff, self._norm, axis=2)
-
-            out = _map_over_targets(chunk_scores, s_emb, n)
+                out = _map_over_targets(chunk_scores, s_emb, n)
+        elif combine == "s_o" and self._norm == 2.0:
+            out = _l2_expanded(o_emb - s_emb, p_emb)
         else:
             return super().score_emb(params, s_emb, p_emb, o_emb, combine, ctx)
         return out.reshape(n, -1)
@@ -108,6 +143,8 @@ class TransEScorer(RelationalScorer):
             query, cand = o_emb - s_emb, p_emb
         else:
             query, cand = s_emb + p_emb, o_emb
+        if self._norm == 2.0:
+            return _l2_expanded_neg(query, cand)
         return -_p_norm(query[:, None, :] - cand, self._norm, axis=2)
 
     def pooled_kernel_queries(self, params, s_emb, p_emb, o_emb, slot, ctx):
@@ -135,21 +172,38 @@ class TransE(KgeModel):
 
     def prepare_job(self, job, **kwargs):
         super().prepare_job(job, **kwargs)
-        _force_triple_negatives(self.config, job)
+        _force_triple_negatives(self, job)
 
 
-def _force_triple_negatives(config, job):
-    """Resolve negative_sampling.implementation=auto to "triple" for
-    distance-family models: their many-targets (sp_/_po) forms are pairwise
-    VPU reductions, not MXU matmuls, so "all"/"batch" has no throughput
-    advantage over per-row scoring and costs x(vocab/num) more work (the
-    reference forces this for TransE, transe.py:57-68; RotatE warns about
-    the many-targets memory instead, rotate.py:9-12)."""
+def _force_triple_negatives(model, job):
+    """Resolve negative_sampling.implementation=auto away from the
+    matmul-shaped choices for PAIRWISE distance scorers (L1/Lp): their
+    many-targets (sp_/_po) forms are chunked VPU reductions, so
+    "all"/"batch" costs x(vocab/num) more work for nothing (the reference
+    forces triple for TransE, transe.py:57-68; RotatE warns about the
+    many-targets memory instead, rotate.py:9-12). Preference order:
+    "pool" when its requirements hold (no filtering, non-shared — the
+    fused pooled kernel / select path is ~4x "triple" on TPU), else
+    "triple". L2 scorers factorize onto the MXU and keep the standard
+    auto heuristic."""
     from kge_tpu.job.train_negative_sampling import TrainingJobNegativeSampling
 
-    if isinstance(job, TrainingJobNegativeSampling):
-        if config.get("negative_sampling.implementation") == "auto":
-            config.set("negative_sampling.implementation", "triple", log=True)
+    config = model.config
+    if not isinstance(job, TrainingJobNegativeSampling):
+        return
+    if not getattr(model.get_scorer(), "pairwise_many_targets", False):
+        return
+    if config.get("negative_sampling.implementation") == "auto":
+        filtering = any(
+            config.get(f"negative_sampling.filtering.{s}") for s in "spo"
+        )
+        shared = config.get("negative_sampling.shared")
+        on_device_ok = config.get("negative_sampling.on_device") != "never"
+        choice = (
+            "pool" if not filtering and not shared and on_device_ok
+            else "triple"
+        )
+        config.set("negative_sampling.implementation", choice, log=True)
 
 
 class TransHScorer(RelationalScorer):
@@ -244,7 +298,7 @@ class TransH(KgeModel):
 
     def prepare_job(self, job, **kwargs):
         super().prepare_job(job, **kwargs)
-        _force_triple_negatives(self.config, job)
+        _force_triple_negatives(self, job)
 
     def penalty(self, params, batch=None, **kwargs):
         """Soft constraints of the TransH paper: entity norms <= 1 and
@@ -270,13 +324,17 @@ class TransH(KgeModel):
 
 class RotatEScorer(RelationalScorer):
     """Relations are phase vectors rotating complex entity embeddings;
-    score = -||abs(s*r - o)||_l (reference rotate.py:20-70)."""
+    score = -||abs(s*r - o)||_l (reference rotate.py:20-70).
 
-    pairwise_many_targets = True  # sp_/_po are VPU reductions, not matmuls
+    For l_norm=2 the many-targets forms are MXU matmuls: the L2 norm over
+    complex moduli equals the plain L2 norm of the concatenated [re | im]
+    vector (the entity table's storage layout), so the expansion
+    ``_l2_expanded`` applies directly."""
 
     def __init__(self, config, dataset, configuration_key=None):
         super().__init__(config, dataset, configuration_key)
         self._norm = float(self.get_option("l_norm"))
+        self.pairwise_many_targets = self._norm != 2.0
 
     @staticmethod
     def _hadamard(a_re, a_im, b_re, b_im):
@@ -295,27 +353,35 @@ class RotatEScorer(RelationalScorer):
             out = -_p_norm_nonneg(mod, self._norm, axis=1)
         elif combine == "sp_":
             sp_re, sp_im = self._hadamard(s_re, s_im, p_re, p_im)  # [n, d/2]
+            if self._norm == 2.0:
+                out = _l2_expanded(
+                    jnp.concatenate([sp_re, sp_im], axis=1), o_emb
+                )
+            else:
+                def chunk_scores(o_chunk):
+                    oc_re, oc_im = jnp.split(o_chunk, 2, axis=1)
+                    d_re = sp_re[:, None, :] - oc_re[None, :, :]  # [n, c, d/2]
+                    d_im = sp_im[:, None, :] - oc_im[None, :, :]
+                    mod = jnp.sqrt(d_re * d_re + d_im * d_im + 1e-30)
+                    return -_p_norm_nonneg(mod, self._norm, axis=2)
 
-            def chunk_scores(o_chunk):
-                oc_re, oc_im = jnp.split(o_chunk, 2, axis=1)
-                d_re = sp_re[:, None, :] - oc_re[None, :, :]  # [n, c, d/2]
-                d_im = sp_im[:, None, :] - oc_im[None, :, :]
-                mod = jnp.sqrt(d_re * d_re + d_im * d_im + 1e-30)
-                return -_p_norm_nonneg(mod, self._norm, axis=2)
-
-            out = _map_over_targets(chunk_scores, o_emb, n)
+                out = _map_over_targets(chunk_scores, o_emb, n)
         elif combine == "_po":
             # || s*p - o || = || s - conj(p)*o || for unit rotations
             po_re, po_im = self._hadamard(p_re, -p_im, o_re, o_im)  # [n, d/2]
+            if self._norm == 2.0:
+                out = _l2_expanded(
+                    jnp.concatenate([po_re, po_im], axis=1), s_emb
+                )
+            else:
+                def chunk_scores(s_chunk):
+                    sc_re, sc_im = jnp.split(s_chunk, 2, axis=1)
+                    d_re = po_re[:, None, :] - sc_re[None, :, :]
+                    d_im = po_im[:, None, :] - sc_im[None, :, :]
+                    mod = jnp.sqrt(d_re * d_re + d_im * d_im + 1e-30)
+                    return -_p_norm_nonneg(mod, self._norm, axis=2)
 
-            def chunk_scores(s_chunk):
-                sc_re, sc_im = jnp.split(s_chunk, 2, axis=1)
-                d_re = po_re[:, None, :] - sc_re[None, :, :]
-                d_im = po_im[:, None, :] - sc_im[None, :, :]
-                mod = jnp.sqrt(d_re * d_re + d_im * d_im + 1e-30)
-                return -_p_norm_nonneg(mod, self._norm, axis=2)
-
-            out = _map_over_targets(chunk_scores, s_emb, n)
+                out = _map_over_targets(chunk_scores, s_emb, n)
         else:
             return super().score_emb(params, s_emb, p_emb, o_emb, combine, ctx)
         return out.reshape(n, -1)
@@ -394,7 +460,7 @@ class RotatE(KgeModel):
 
     def prepare_job(self, job, **kwargs):
         super().prepare_job(job, **kwargs)
-        _force_triple_negatives(self.config, job)
+        _force_triple_negatives(self, job)
 
     def postprocess_params(self, params):
         """Renormalize relation phases into [-pi, pi) after every batch; the

@@ -226,8 +226,11 @@ def test_pairwise_chunking_matches_unchunked(model_name, monkeypatch):
 
 @pytest.mark.parametrize("model_name", ["transe", "transh", "rotate"])
 def test_distance_models_force_triple_negatives(model_name):
-    """Distance models resolve negative_sampling.implementation=auto to
-    "triple" (no MXU advantage in many-targets scoring)."""
+    """Pairwise (L1) distance models resolve
+    negative_sampling.implementation=auto to "pool" when its requirements
+    hold (no MXU advantage in many-targets scoring; the pooled select /
+    kernel path is the fast per-row form), and to "triple" when pool is
+    unavailable (see test_translation_l2 for the full policy table)."""
     import tempfile
 
     from kge_tpu.job import TrainingJob
@@ -242,7 +245,7 @@ def test_distance_models_force_triple_negatives(model_name):
     dataset = get_test_dataset(config)
     job = TrainingJob.create(config, dataset)
     job._prepare()
-    assert job._implementation == "triple"
+    assert job._implementation == "pool"
 
 
 @pytest.mark.parametrize("model_name,options", BASE_MODELS,

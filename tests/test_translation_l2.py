@@ -1,0 +1,140 @@
+"""TransE/RotatE L2 matmul-expansion scoring paths: equality with the
+direct pairwise formulation, and the distance-model auto-implementation
+policy (pool when eligible, triple otherwise; standard heuristic for L2)."""
+
+import numpy as np
+import pytest
+
+from tests.util import get_test_config, get_test_dataset
+
+
+def _make_model(model, l_norm, **options):
+    from kge_tpu.models import KgeModel
+
+    config = get_test_config(**{
+        "lookup_embedder.dim": 16,
+        f"{model}.l_norm": l_norm,
+        **options,
+    })
+    config.load_options({"model": model})
+    config.set(f"{model}.l_norm", l_norm)
+    dataset = get_test_dataset(config)
+    m = KgeModel.create(config, dataset)
+    import jax
+
+    return m, m.init_params(jax.random.PRNGKey(0))
+
+
+def _pairwise_ref(model_name, params, model, s, p, targets, slot):
+    """Direct [n, m, d] pairwise distance computation (no expansion)."""
+    import jax.numpy as jnp
+
+    ent = params["entity_embedder"]["embeddings"]
+    rel = params["relation_embedder"]["embeddings"]
+    if model_name == "transe":
+        if slot == 2:
+            q = ent[s] + rel[p]
+        else:
+            q = ent[s] - rel[p]  # here s carries the object ids
+        diff = q[:, None, :] - ent[targets][None, :, :]
+        return -jnp.sqrt(jnp.sum(diff * diff, axis=2) + 1e-30)
+    # rotate
+    d = ent.shape[1]
+    e_re, e_im = ent[:, :d // 2], ent[:, d // 2:]
+    ph = rel[p]
+    p_re, p_im = jnp.cos(ph), jnp.sin(ph)
+    if slot == 2:
+        a_re, a_im = e_re[s], e_im[s]
+        q_re = a_re * p_re - a_im * p_im
+        q_im = a_re * p_im + a_im * p_re
+    else:
+        a_re, a_im = e_re[s], e_im[s]
+        q_re = p_re * a_re + p_im * a_im
+        q_im = p_re * a_im - p_im * a_re
+    d_re = q_re[:, None, :] - e_re[targets][None, :, :]
+    d_im = q_im[:, None, :] - e_im[targets][None, :, :]
+    return -jnp.sqrt(jnp.sum(d_re ** 2 + d_im ** 2, axis=2) + 1e-30)
+
+
+@pytest.mark.parametrize("model", ["transe", "rotate"])
+def test_l2_many_targets_matches_pairwise(model):
+    import jax.numpy as jnp
+
+    m, params = _make_model(model, 2.0)
+    n_ent = m.dataset.num_entities()
+    s = jnp.asarray([0, 1, 2, 3])
+    p = jnp.asarray([0, 1, 2, 0])
+    targets = jnp.arange(n_ent)
+    sp = m.score_sp(params, s, p)  # expansion path
+    ref = _pairwise_ref(model, params, m, s, p, targets, 2)
+    np.testing.assert_allclose(np.asarray(sp), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+    po = m.score_po(params, p, s)  # objects in s position of the helper
+    ref_po = _pairwise_ref(model, params, m, s, p, targets, 0)
+    np.testing.assert_allclose(np.asarray(po), np.asarray(ref_po),
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("model", ["transe", "rotate"])
+def test_l2_spo_unchanged_vs_l1_formulation(model):
+    """The spo (positive-triple) form stays on the exact-norm path: L2
+    scores from score_spo must equal the direct norm computation."""
+    import jax.numpy as jnp
+
+    m, params = _make_model(model, 2.0)
+    s = jnp.asarray([0, 1, 2, 3])
+    p = jnp.asarray([0, 1, 2, 0])
+    o = jnp.asarray([4, 5, 6, 1])
+    spo = m.score_spo(params, s, p, o)
+    many = m.score_sp(params, s, p)
+    picked = np.asarray(many)[np.arange(4), np.asarray(o)]
+    np.testing.assert_allclose(np.asarray(spo), picked, rtol=1e-4, atol=1e-4)
+
+
+def test_transe_l2_score_emb_neg_matches_direct():
+    import jax
+    import jax.numpy as jnp
+
+    m, params = _make_model("transe", 2.0)
+    rng = np.random.default_rng(0)
+    n, k = 5, 7
+    s = jnp.asarray(rng.integers(0, 7, n))
+    p = jnp.asarray(rng.integers(0, 3, n))
+    o = jnp.asarray(rng.integers(0, 7, n))
+    samples = jnp.asarray(rng.integers(0, 7, (n, k)).astype(np.int32))
+    triples = jnp.stack([s, p, o], axis=1).astype(jnp.int32)
+    neg = m.score_spo_neg(params, triples, samples, 2)
+    for i in range(n):
+        expected = m.score_spo(
+            params, jnp.full(k, s[i]), jnp.full(k, p[i]), samples[i]
+        )
+        np.testing.assert_allclose(np.asarray(neg[i]), np.asarray(expected),
+                                   rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("model,l_norm,options,expected", [
+    ("transe", 1.0, {}, "pool"),
+    ("transe", 1.0, {"negative_sampling.filtering.s": True}, "triple"),
+    ("transe", 1.0, {"negative_sampling.shared": True}, "triple"),
+    ("rotate", 1.0, {}, "pool"),
+    # L2 factorizes onto the MXU: the standard auto heuristic applies
+    # (small vocab -> "all")
+    ("transe", 2.0, {}, "all"),
+])
+def test_distance_auto_implementation_policy(model, l_norm, options, expected):
+    from kge_tpu.job import TrainingJob
+
+    config = get_test_config(**{
+        "train.type": "negative_sampling",
+        "negative_sampling.num_samples.s": 4,
+        "train.batch_size": 6,
+        "valid.every": 0,
+        "lookup_embedder.dim": 16,
+        **options,
+    })
+    config.load_options({"model": model})
+    config.set(f"{model}.l_norm", l_norm)
+    dataset = get_test_dataset(config)
+    job = TrainingJob.create(config, dataset)
+    job._prepare()
+    assert config.get("negative_sampling.implementation") == expected
