@@ -123,12 +123,111 @@ def emit_and_exit(signum=None, frame=None):
         os._exit(0)
 
 
+# ----------------------------------------------------------------- roofline
+#
+# Achieved FLOP/s and HBM bytes/s per stage from closed-form work models of
+# the known shapes, against v5e peaks, with the limiting resource named.
+# Public v5e numbers: 197 TFLOP/s bf16 MXU, 819 GB/s HBM. The VPU figure is
+# an estimate (8x128 lanes x ~0.94 GHz x 2 FLOP/lane/cycle) used for the
+# elementwise-bound distance-model stages. Work models count the dominant
+# terms only (score matmuls / distance chains fwd+bwd, embedding gathers +
+# scatters, dense optimizer passes) — they rank headroom; they are not
+# cycle-accurate.
+
+V5E_MXU_BF16 = 197e12
+V5E_VPU_EST = 2e12
+V5E_HBM = 8.19e11
+
+VP = -(-NUM_ENTITIES // 128) * 128  # padded vocab in grouped layouts
+
+
+def _work_models():
+    D2 = 2 * DIM          # ComplEx embedding vector length (f32 floats)
+    B, K = BATCH_SIZE, NUM_NEG
+    table = (NUM_ENTITIES + NUM_RELATIONS) * D2 * 4
+    # per-step optimizer traffic: dense grad write+read, Adagrad state r+w,
+    # params r+w over both tables
+    opt = 6 * table
+    gathers = 3 * D2 * 4          # s/p/o embedding rows per triple
+    return {
+        # ComplEx shared: embed-once, per slot one [B, D2] x [D2, K+2]
+        # matmul fwd + 2 transposed matmuls bwd
+        "negsamp_shared": dict(
+            unit_flops=2 * 3 * 2 * D2 * (K + 2),
+            unit_bytes=2 * gathers + opt / B,
+            engine="mxu",
+        ),
+        # pool: same shape with K*pool_factor(=8) pool columns per slot
+        "negsamp_perrow_triples_per_sec": dict(
+            unit_flops=2 * 3 * 2 * D2 * (8 * K + 1),
+            unit_bytes=2 * gathers + opt / B,
+            engine="mxu",
+        ),
+        # exact per-row: full-vocab grouped matmuls + one-hot picks
+        "negsamp_perrow_exact_triples_per_sec": dict(
+            unit_flops=2 * (3 * 2 * D2 * VP + 2 * 2 * K * VP),
+            unit_bytes=2 * gathers + opt / B + 2 * 3 * VP * D2 * 4 / B,
+            engine="mxu",
+        ),
+        # KvsAll: per query one full-vocab matmul fwd + 2 bwd
+        "kvsall_queries_per_sec": dict(
+            unit_flops=3 * 2 * D2 * VP,
+            unit_bytes=gathers + opt / 512 + 3 * VP * D2 * 4 / 512,
+            engine="mxu",
+        ),
+        # filtered eval: both directions forward-only + rank reduction
+        "eval_filtered_triples_per_sec": dict(
+            unit_flops=2 * 2 * D2 * VP,
+            unit_bytes=gathers + 2 * VP * D2 * 4 / 256 + 2 * VP * 4,
+            engine="mxu",
+        ),
+        # TransE-L1 pooled (d=128): elementwise select+|diff| chain,
+        # ~6 VPU ops/element fwd and ~12 bwd over 2 slots x K x d
+        "transe_margin_triples_per_sec": dict(
+            unit_flops=2 * K * 128 * 18,
+            unit_bytes=2 * 3 * 128 * 4 + 6 * (NUM_ENTITIES + NUM_RELATIONS) * 128 * 4 / B,
+            engine="vpu",
+        ),
+        # RotatE-L1 selfadv (d=1024): cmod kernel, ~30 VPU ops per
+        # (slot, negative, complex dim) incl. F=8 select fwd+bwd
+        "rotate_selfadv_triples_per_sec": dict(
+            unit_flops=2 * K * 512 * 30,
+            unit_bytes=2 * 3 * 1024 * 4 + 10 * (NUM_ENTITIES + NUM_RELATIONS) * 1024 * 4 / 4096,
+            engine="vpu",
+        ),
+    }
+
+
+def roofline():
+    models = _work_models()
+    out = {}
+    for key, rate in RESULTS.items():
+        m = models.get(key)
+        if not m:
+            continue
+        flops = rate * m["unit_flops"]
+        byps = rate * m["unit_bytes"]
+        peak = V5E_MXU_BF16 if m["engine"] == "mxu" else V5E_VPU_EST
+        pct_compute = 100.0 * flops / peak
+        pct_hbm = 100.0 * byps / V5E_HBM
+        bound = (m["engine"] if pct_compute >= pct_hbm else "hbm")
+        out[key] = {
+            "tflops": round(flops / 1e12, 2),
+            "gbps": round(byps / 1e9, 1),
+            "pct_of_peak": round(max(pct_compute, pct_hbm), 1),
+            "bound": bound,
+        }
+    return out
+
+
 def result_line():
     headline = RESULTS.get("negsamp_shared")
     extra = {
         k: round(v, 1) for k, v in RESULTS.items() if k != "negsamp_shared"
     }
     extra.update(NOTES)
+    if RESULTS:
+        extra["roofline"] = roofline()
     return {
         "metric": "negsamp_triples_per_sec_per_chip",
         "value": round(headline, 1) if headline else None,
@@ -154,12 +253,12 @@ def bench_dataset_folder():
     return folder
 
 
-def build_config(overrides=()):
+def build_config(overrides=(), model="complex", dim=None):
     from kge_tpu import Config
 
     config = Config(folder=None)
     config.set("console.quiet", True)
-    config.load_options({"model": "complex"})
+    config.load_options({"model": model})
     config.set("dataset.name", "bench_fb15k237")
     config.set("train.type", "negative_sampling")
     config.set("negative_sampling.num_samples.s", NUM_NEG)
@@ -167,20 +266,19 @@ def build_config(overrides=()):
     config.set("train.optimizer.default.type", "Adagrad")
     config.set("train.optimizer.default.args.lr", 0.1)
     config.set("valid.every", 0)
-    config.set("complex.entity_embedder.dim", DIM, create=True)
-    config.set("complex.relation_embedder.dim", DIM, create=True)
+    config.set("lookup_embedder.dim", DIM if dim is None else dim)
     config.set("random_seed.default", 0)
     for key, value in overrides:
         config.set(key, value, create=True)
     return config
 
 
-def build_job(overrides=()):
+def build_job(overrides=(), model="complex", dim=None):
     from kge_tpu import Dataset
     from kge_tpu.job import TrainingJob
 
     folder = bench_dataset_folder()
-    config = build_config(overrides)
+    config = build_config(overrides, model=model, dim=dim)
     dataset = Dataset.create(config, folder=folder)
     return TrainingJob.create(config, dataset)
 
@@ -198,11 +296,12 @@ def timed_epoch_groups(job, epochs):
     return warmup, traces[-1]["size"] * epochs / dt, traces[-1]
 
 
-def stage_negsamp(name, overrides, epochs=4, quick=False):
+def stage_negsamp(name, overrides, epochs=4, quick=False, model="complex",
+                  dim=None):
     if quick:
         overrides = tuple(overrides) + (("train.epoch_scan", "never"),)
         epochs = 1
-    job = build_job(overrides)
+    job = build_job(overrides, model=model, dim=dim)
     job._prepare()
     job._is_prepared = True
     warmup, tps, trace = timed_epoch_groups(job, epochs)
@@ -294,6 +393,28 @@ STAGES = [
             (("negative_sampling.implementation", "all"),),
             epochs=3,
             quick=quick,
+        ),
+    ),
+    (
+        "transe_margin",
+        "transe_margin_triples_per_sec",
+        lambda quick=False: stage_negsamp(
+            "transe_margin_triples_per_sec",
+            (("train.loss", "margin_ranking"), ("train.loss_arg", 4.0),
+             ("transe.l_norm", 1.0)),
+            quick=quick, model="transe", dim=128,
+        ),
+    ),
+    (
+        "rotate_selfadv",
+        "rotate_selfadv_triples_per_sec",
+        lambda quick=False: stage_negsamp(
+            "rotate_selfadv_triples_per_sec",
+            (("train.loss", "bce_self_adversarial"),
+             ("train.batch_size", 4096),
+             ("train.optimizer.default.type", "Adam"),
+             ("train.optimizer.default.args.lr", 0.001)),
+            epochs=2, quick=quick, model="rotate", dim=1024,
         ),
     ),
     ("kvsall", "kvsall_queries_per_sec", stage_kvsall),
