@@ -337,7 +337,7 @@ def stage_eval(quick=False):
     import jax
 
     folder = bench_dataset_folder()
-    config = build_config((("eval.batch_size", 256),))
+    config = build_config((("eval.batch_size", 1024),))
     config.set("job.type", "eval")
     config.set("eval.split", "valid")
     dataset = Dataset.create(config, folder=folder)
