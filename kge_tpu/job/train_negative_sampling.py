@@ -55,18 +55,26 @@ class TrainingJobNegativeSampling(TrainingJob):
         )
         implementation = self.config.get("negative_sampling.implementation")
         if implementation == "auto":
-            # The reference picks "batch" for >30 non-shared negatives
-            # because it deduplicates in-batch targets dynamically
-            # (sampler.py:307-344). Under XLA's static shapes there is no
-            # dynamic unique: "batch" would score every row against all
-            # n*num samples (an n x n*num matrix). For non-shared negatives
-            # the choice is between "triple" (each row against its own
-            # samples: gathers + VPU elementwise) and "all" (one MXU matmul
-            # against the whole vocabulary, negatives gathered from the
-            # score matrix). Measured on v5e, "all" wins even at 16
-            # negatives — the MXU's throughput dwarfs the per-row gather
-            # path — until the batch x |V| score matrix stops fitting; so
-            # gate on its size, not on FLOPs.
+            # Measured auto ladder (v5e, ComplEx d=512, batch 8192, 128
+            # negatives, FB15k-237 shapes):
+            #   pool    4.2M triples/s  (exact per-row marginals; rows of a
+            #                            batch correlate through the shared
+            #                            candidate pool — see the
+            #                            "implementation" doc in
+            #                            config-default.yaml)
+            #   all     1.05M           (fully independent rows, grouped
+            #                            matmul + gather-free picks; ~95%
+            #                            of MXU peak — the exact-semantics
+            #                            ceiling)
+            #   batch   reference-dedup semantics via size-bounded
+            #           jnp.unique (sampler.py:307-344 parity); shared-
+            #           negatives default
+            #   triple  0.25M           (per-row gathers; the only choice
+            #                            when candidates must be filtered
+            #                            host-side)
+            # auto prefers pool where its requirements hold (no filtering,
+            # on-device sampling allowed), then all under a score-matrix
+            # memory gate, then triple.
             if self._sampler.shared:
                 implementation = "batch"
             else:
@@ -93,7 +101,15 @@ class TrainingJobNegativeSampling(TrainingJob):
                 score_matrix_bytes = (
                     4 * self.batch_size * vocab * active_entity_slots * 2
                 )
-                if score_matrix_bytes <= (1 << 31) and not wants_rows_only:
+                pool_ok = (
+                    not self._sampler.filter_positives.any()
+                    and self.config.get("negative_sampling.on_device")
+                    != "never"
+                    and not self.config.get("negative_sampling.auto_exact")
+                )
+                if pool_ok:
+                    implementation = "pool"
+                elif score_matrix_bytes <= (1 << 31) and not wants_rows_only:
                     implementation = "all"
                 else:
                     implementation = "triple"

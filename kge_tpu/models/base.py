@@ -243,18 +243,24 @@ class RelationalScorer(KgeBase):
     def factorize_slot(
         self, params: Params, s_emb, p_emb, o_emb, slot: int, ctx: Ctx
     ):
-        """Optional (query, target_map) factorization of slot scoring.
+        """Optional (query, target_map[, score_map]) factorization of slot
+        scoring.
 
         For scorers whose score against candidates c of ``slot`` is
-        ``query . target_map(c_emb)`` (one dot product), returns the
-        per-row query [n, d'] built from the two kept slots (whose
-        embeddings are given; the corrupted slot's entry is None) and a
-        candidate-embedding map (None = identity). Callers can then score
-        against a whole vocabulary with one dot_general in any output
-        layout — e.g. the grouped [n, ceil(V/128), 128] layout that feeds
-        the gather-free per-row pick (ops/pick.py). None (default) when
-        the scorer doesn't factorize (ConvE, Transformer, distance
-        models)."""
+        ``score_map(query . target_map(c_emb))`` (one dot product plus an
+        optional elementwise epilogue), returns the per-row query [n, d']
+        built from the two kept slots (whose embeddings are given; the
+        corrupted slot's entry is None), a candidate-embedding map
+        (None = identity), and optionally the elementwise epilogue applied
+        to the contraction (absent/None = identity — the bilinear models).
+        Callers can then score against a whole vocabulary with one
+        dot_general in any output layout — e.g. the grouped
+        [n, ceil(V/128), 128] layout that feeds the gather-free per-row
+        pick (ops/pick.py); the epilogue fuses into the matmul consumer.
+        L2 distance scorers factorize via augmented embeddings
+        (||q-c||^2 = ||q||^2 + ||c||^2 - 2 q.c packed into one dot) with a
+        sqrt epilogue. None (default) when the scorer doesn't factorize
+        (ConvE, Transformer, L1/Lp distance forms)."""
         return None
 
     def pooled_kernel_queries(
@@ -1066,6 +1072,7 @@ class KgeModel(KgeBase):
         if fac is None:
             return None
         tmap = fac[1]
+        smap = fac[2] if len(fac) > 2 else None
 
         scorer = self._scorer
 
@@ -1080,10 +1087,11 @@ class KgeModel(KgeBase):
 
         from kge_tpu.parallel.ring import ring_all_scores
 
-        return ring_all_scores(
+        out = ring_all_scores(
             mesh, table, jnp.asarray(ent_ids), rel_emb, make_query,
             map_targets,
         )
+        return out if smap is None else smap(out)
 
     def score_so(self, params: Params, s, o, p=None, ctx: Ctx = EVAL_CTX) -> jax.Array:
         """Scores of (s_i, *, o_i) against all (or the given) relations; [n, m]."""
@@ -1157,7 +1165,8 @@ class KgeModel(KgeBase):
         )
         if fac is None:
             return None
-        q, target_map = fac
+        q, target_map = fac[0], fac[1]
+        score_map = fac[2] if len(fac) > 2 else None
         t = embedders[slot].embed_all(params[tables[slot]], ctx.fold(3))
         if target_map is not None:
             t = target_map(t)
@@ -1166,7 +1175,8 @@ class KgeModel(KgeBase):
         if padded != num:
             t = jnp.pad(t, ((0, padded - num), (0, 0)))
         t3 = t.reshape(padded // 128, 128, t.shape[-1])
-        return jax.lax.dot_general(q, t3, (((1,), (2,)), ((), ())))
+        out = jax.lax.dot_general(q, t3, (((1,), (2,)), ((), ())))
+        return out if score_map is None else score_map(out)
 
     def score_all_grouped_multi(self, params: Params, triples, slots,
                                 ctx: Ctx = EVAL_CTX, targets=None):
@@ -1210,7 +1220,8 @@ class KgeModel(KgeBase):
             )
             if fac is None:
                 return None
-            q, target_map = fac
+            q, target_map = fac[0], fac[1]
+            score_map = fac[2] if len(fac) > 2 else None
             slot_targets = None if targets is None else targets.get(slot)
             if slot_targets is not None:
                 t = embedders[slot].embed(
@@ -1218,9 +1229,9 @@ class KgeModel(KgeBase):
                 )
                 if target_map is not None:
                     t = target_map(t)
+                dot = jax.lax.dot_general(q, t, (((1,), (1,)), ((), ())))
                 out[slot] = (
-                    pos,
-                    jax.lax.dot_general(q, t, (((1,), (1,)), ((), ()))),
+                    pos, dot if score_map is None else score_map(dot),
                 )
                 continue
             t = embedders[slot].embed_all(
@@ -1233,9 +1244,8 @@ class KgeModel(KgeBase):
             if padded != num:
                 t = jnp.pad(t, ((0, padded - num), (0, 0)))
             t3 = t.reshape(padded // 128, 128, t.shape[-1])
-            out[slot] = (
-                pos, jax.lax.dot_general(q, t3, (((1,), (2,)), ((), ())))
-            )
+            dot = jax.lax.dot_general(q, t3, (((1,), (2,)), ((), ())))
+            out[slot] = (pos, dot if score_map is None else score_map(dot))
         return out
 
     def prepare_job(self, job, **kwargs):

@@ -59,6 +59,34 @@ def _l2_expanded(query: jax.Array, targets: jax.Array) -> jax.Array:
     return -jnp.sqrt(sq + 1e-30)
 
 
+def _l2_factorization(q: jax.Array):
+    """(query, target_map, score_map) expressing -||q - c||_2 as an
+    epilogued dot product with AUGMENTED embeddings:
+
+        [2q | -1 | -||q||^2] . [c | ||c||^2 | 1] = -||q - c||^2
+
+    so L2 distance scorers ride every factorized fast path (grouped
+    full-vocabulary scoring + gather-free picks, embed-once multi-slot
+    scoring, the ppermute-ring model-sharded schedule). The sqrt epilogue
+    is elementwise and fuses into the matmul consumer."""
+    n = q.shape[0]
+    q2 = jnp.sum(q * q, axis=1, keepdims=True)
+    query = jnp.concatenate(
+        [2.0 * q, -jnp.ones((n, 1), q.dtype), -q2], axis=1
+    )
+
+    def target_map(t):
+        t2 = jnp.sum(t * t, axis=1, keepdims=True)
+        return jnp.concatenate(
+            [t, t2, jnp.ones((t.shape[0], 1), t.dtype)], axis=1
+        )
+
+    def score_map(dot):
+        return -jnp.sqrt(jnp.maximum(-dot, 0.0) + 1e-30)
+
+    return query, target_map, score_map
+
+
 def _l2_expanded_neg(query: jax.Array, cand: jax.Array) -> jax.Array:
     """-||query_i - cand_ij||_2 for per-row candidates [n, k, d]: batched
     contraction instead of materializing the [n, k, d] diff chain."""
@@ -159,6 +187,17 @@ class TransEScorer(RelationalScorer):
         else:
             q = s_emb + p_emb
         return "l1", (q,)
+
+    def factorize_slot(self, params, s_emb, p_emb, o_emb, slot, ctx):
+        if self._norm != 2.0:
+            return None
+        if slot == 0:
+            q = o_emb - p_emb
+        elif slot == 1:
+            q = o_emb - s_emb
+        else:
+            q = s_emb + p_emb
+        return _l2_factorization(q)
 
 
 class TransE(KgeModel):
@@ -424,6 +463,21 @@ class RotatEScorer(RelationalScorer):
             s_re, s_im = jnp.split(s_emb, 2, axis=1)
             q_re, q_im = self._hadamard(s_re, s_im, p_re, p_im)
         return "cmod", (q_re, q_im)
+
+    def factorize_slot(self, params, s_emb, p_emb, o_emb, slot, ctx):
+        # L2 over complex moduli == plain L2 of the [re | im] storage
+        # layout; relation corruptions rotate the candidate into s (not a
+        # difference), so slot 1 doesn't factorize
+        if self._norm != 2.0 or slot == 1:
+            return None
+        p_re, p_im = jnp.cos(p_emb), jnp.sin(p_emb)
+        if slot == 0:
+            o_re, o_im = jnp.split(o_emb, 2, axis=1)
+            q_re, q_im = self._hadamard(p_re, -p_im, o_re, o_im)
+        else:
+            s_re, s_im = jnp.split(s_emb, 2, axis=1)
+            q_re, q_im = self._hadamard(s_re, s_im, p_re, p_im)
+        return _l2_factorization(jnp.concatenate([q_re, q_im], axis=1))
 
 
 class RotatE(KgeModel):

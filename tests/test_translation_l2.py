@@ -117,9 +117,10 @@ def test_transe_l2_score_emb_neg_matches_direct():
     ("transe", 1.0, {"negative_sampling.filtering.s": True}, "triple"),
     ("transe", 1.0, {"negative_sampling.shared": True}, "triple"),
     ("rotate", 1.0, {}, "pool"),
-    # L2 factorizes onto the MXU: the standard auto heuristic applies
-    # (small vocab -> "all")
-    ("transe", 2.0, {}, "all"),
+    # L2 factorizes onto the MXU: the standard auto ladder applies
+    # (pool preferred; "all" when exactness is demanded)
+    ("transe", 2.0, {}, "pool"),
+    ("transe", 2.0, {"negative_sampling.auto_exact": True}, "all"),
 ])
 def test_distance_auto_implementation_policy(model, l_norm, options, expected):
     from kge_tpu.job import TrainingJob
@@ -138,3 +139,81 @@ def test_distance_auto_implementation_policy(model, l_norm, options, expected):
     job = TrainingJob.create(config, dataset)
     job._prepare()
     assert config.get("negative_sampling.implementation") == expected
+
+
+@pytest.mark.parametrize("model", ["transe", "rotate"])
+def test_l2_factorized_grouped_matches_sp(model):
+    """The augmented-embedding factorization (grouped full-vocab scoring
+    with sqrt epilogue) must match the direct L2 expansion path."""
+    import jax.numpy as jnp
+
+    m, params = _make_model(model, 2.0)
+    E = m.dataset.num_entities()
+    s = jnp.asarray([0, 1, 2, 3])
+    p = jnp.asarray([0, 1, 2, 0])
+    o = jnp.asarray([4, 5, 6, 1])
+    triples = jnp.stack([s, p, o], axis=1)
+    for slot, direct in ((2, m.score_sp(params, s, p)),
+                         (0, m.score_po(params, p, o))):
+        g = m.score_slot_all_grouped(params, triples, slot)
+        assert g is not None
+        flat = np.asarray(g).reshape(4, -1)[:, :E]
+        np.testing.assert_allclose(flat, np.asarray(direct),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_transe_l2_relation_slot_factorizes():
+    import jax.numpy as jnp
+
+    m, params = _make_model("transe", 2.0)
+    R = m.dataset.num_relations()
+    s = jnp.asarray([0, 1, 2])
+    o = jnp.asarray([3, 4, 5])
+    triples = jnp.stack([s, jnp.zeros(3, jnp.int32), o], axis=1)
+    g = m.score_slot_all_grouped(params, triples, 1)
+    assert g is not None
+    direct = m.score_so(params, s, o)
+    np.testing.assert_allclose(
+        np.asarray(g).reshape(3, -1)[:, :R], np.asarray(direct),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+@pytest.mark.parametrize("model", ["transe", "rotate"])
+def test_l2_exact_all_implementation_trains(model):
+    """implementation=all (grouped scores + gather-free picks) produces
+    the same per-batch loss as implementation=triple for L2 models (same
+    negatives, different scoring path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from kge_tpu.job import TrainingJob
+
+    losses = {}
+    for impl in ("triple", "all"):
+        config = get_test_config(**{
+            "train.type": "negative_sampling",
+            "negative_sampling.implementation": impl,
+            "negative_sampling.num_samples.s": 4,
+            "negative_sampling.on_device": "never",
+            "train.batch_size": 6,
+            "valid.every": 0,
+            "lookup_embedder.dim": 16,
+            "random_seed.default": 5,
+        })
+        config.load_options({"model": model})
+        config.set(f"{model}.l_norm", 2.0)
+        dataset = get_test_dataset(config)
+        job = TrainingJob.create(config, dataset)
+        job._prepare()
+        job._is_prepared = True
+        job._force_grouped_all = impl == "all"
+        batch = next(job._batches())
+        batch = {k: jnp.asarray(v) if not np.isscalar(v) else v
+                 for k, v in batch.items()}
+        val, _ = job._loss_for_batch(
+            job.model_params, batch, jax.random.PRNGKey(2)
+        )
+        losses[impl] = float(val)
+    np.testing.assert_allclose(losses["all"], losses["triple"],
+                               rtol=1e-5, atol=1e-6)
