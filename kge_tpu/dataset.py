@@ -85,6 +85,9 @@ class Dataset(Configurable):
         """
         name = config.get("dataset.name")
         root_modules = list(config.get("modules"))
+        from_dir = config.get_default("dataset.from_dir")
+        if folder is None and from_dir:
+            folder = Dataset._ingest_from_dir(config, from_dir)
         if folder is None:
             candidates = [
                 os.path.join(os.getcwd(), "data", name),
@@ -114,6 +117,52 @@ class Dataset(Configurable):
             for split in ["train", "valid", "test"]:
                 dataset.split(split)
         return dataset
+
+    @staticmethod
+    def _ingest_from_dir(config: Config, from_dir: str) -> str:
+        """Resolve ``dataset.from_dir``: an explicit directory holding the
+        dataset — either already in framework format (``dataset.yaml``
+        present) or the published raw layout (``train.txt``/``valid.txt``/
+        ``test.txt``), which is preprocessed in place on first use. With
+        ``dataset.from_dir_checksum`` set, the raw split files must match
+        the given sha256 (computed over train/valid/test contents in that
+        order) — a zero-trust gate for reproducing published numbers on
+        mounted data (e.g. the FB15k-237 quality gate, examples/
+        fb15k-237-complex-1vsall.yaml) without any downloader."""
+        import hashlib
+
+        if not os.path.isdir(from_dir):
+            raise IOError(f"dataset.from_dir {from_dir} is not a directory")
+        raw = [
+            os.path.join(from_dir, f)
+            for f in ("train.txt", "valid.txt", "test.txt")
+        ]
+        expected = config.get_default("dataset.from_dir_checksum")
+        if expected:
+            h = hashlib.sha256()
+            for path in raw:
+                if os.path.isfile(path):
+                    with open(path, "rb") as f:
+                        h.update(f.read())
+            digest = h.hexdigest()
+            if digest != expected:
+                raise ValueError(
+                    f"dataset.from_dir checksum mismatch: expected "
+                    f"{expected}, got {digest}"
+                )
+            config.log(f"dataset.from_dir checksum verified ({digest[:12]}...)")
+        if os.path.isfile(os.path.join(from_dir, "dataset.yaml")):
+            return from_dir
+        if all(os.path.isfile(p) for p in raw):
+            from kge_tpu.data.preprocess import preprocess_default
+
+            config.log(f"Preprocessing raw splits in {from_dir} ...")
+            preprocess_default(from_dir)
+            return from_dir
+        raise IOError(
+            f"dataset.from_dir {from_dir} holds neither dataset.yaml nor "
+            "raw train/valid/test.txt splits"
+        )
 
     @staticmethod
     def create_from(

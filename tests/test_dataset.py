@@ -112,3 +112,54 @@ def test_shallow_copy_shares_data():
     copy = dataset.shallow_copy()
     assert copy.num_entities() == dataset.num_entities()
     assert copy.split("train") is dataset.split("train")
+
+
+def test_from_dir_ingests_raw_splits(tmp_path):
+    """dataset.from_dir preprocesses a raw train/valid/test.txt directory in
+    place and (optionally) verifies the raw checksum first."""
+    import hashlib
+
+    from kge_tpu import Config, Dataset
+
+    d = tmp_path / "rawset"
+    d.mkdir()
+    triples = [("a", "r1", "b"), ("b", "r1", "c"), ("c", "r2", "a"),
+               ("a", "r2", "c"), ("b", "r2", "a")]
+    (d / "train.txt").write_text(
+        "".join(f"{s}\t{p}\t{o}\n" for s, p, o in triples)
+    )
+    (d / "valid.txt").write_text("a\tr1\tc\n")
+    (d / "test.txt").write_text("c\tr1\tb\n")
+    h = hashlib.sha256()
+    for f in ("train.txt", "valid.txt", "test.txt"):
+        h.update((d / f).read_bytes())
+
+    config = Config()
+    config.set("console.quiet", True)
+    config.set("dataset.name", "rawset")
+    config.set("dataset.from_dir", str(d))
+    config.set("dataset.from_dir_checksum", h.hexdigest())
+    dataset = Dataset.create(config)
+    assert dataset.num_entities() == 3
+    assert dataset.num_relations() == 2
+    assert len(dataset.split("train")) == 5
+    assert (d / "dataset.yaml").exists()
+
+    # wrong checksum must fail before any use
+    config2 = Config()
+    config2.set("console.quiet", True)
+    config2.set("dataset.name", "rawset")
+    config2.set("dataset.from_dir", str(d))
+    config2.set("dataset.from_dir_checksum", "0" * 64)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="checksum"):
+        Dataset.create(config2)
+
+    # already-preprocessed folders load directly
+    config3 = Config()
+    config3.set("console.quiet", True)
+    config3.set("dataset.name", "rawset")
+    config3.set("dataset.from_dir", str(d))
+    dataset3 = Dataset.create(config3)
+    assert len(dataset3.split("test")) == 1
