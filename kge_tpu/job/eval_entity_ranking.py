@@ -32,7 +32,7 @@ from kge_tpu.config import Config
 from kge_tpu.dataset import Dataset
 from kge_tpu.job.eval import EvaluationJob
 from kge_tpu.job.job import Job
-from kge_tpu.ops.pick import picked_scores
+from kge_tpu.ops.pick import picked_scores, picked_scores_grouped
 
 S, P, O = 0, 1, 2
 
@@ -47,13 +47,14 @@ def hist_all(hists, s, p, o, s_ranks, o_ranks, job, **kwargs):
     num_entities = job.dataset.num_entities()
     if "all" not in hists:
         hists["all"] = np.zeros(num_entities, dtype=np.float64)
-    np.add.at(hists["all"], s_ranks, 1)
-    np.add.at(hists["all"], o_ranks, 1)
+    # bincount beats np.add.at ~10x at epoch-sized rank arrays
+    hists["all"] += np.bincount(s_ranks, minlength=num_entities)
+    hists["all"] += np.bincount(o_ranks, minlength=num_entities)
     if job.head_and_tail:
         for key, ranks in (("head", s_ranks), ("tail", o_ranks)):
             if key not in hists:
                 hists[key] = np.zeros(num_entities, dtype=np.float64)
-            np.add.at(hists[key], ranks, 1)
+            hists[key] += np.bincount(ranks, minlength=num_entities)
 
 
 def hist_per_relation_type(hists, s, p, o, s_ranks, o_ranks, job, **kwargs):
@@ -208,6 +209,95 @@ class EntityRankingJob(EvaluationJob):
         )
         return ys
 
+    def _rank_batch_grouped(self, params, s, p, o, coords):
+        """Single-chunk ranking on the natively-grouped [n, G, 128] score
+        layout (factorizing scorers). The flat path pays one full
+        score-matrix pass per consumer (raw counts; the pick's pad +
+        [n, V] -> [n, G, 128] retile) — at eval shapes the matrices are
+        the whole traffic budget, so scoring straight into the grouped
+        layout and fusing every consumer over it is the win: raw tie/rank
+        counts and the true-position consistency extraction read S3 once
+        (the consistency pick is an elementwise one-hot reduce, NOT a
+        batched K=1 dot — 1024 tiny batched matmuls measured slower than
+        the whole remaining kernel), and filtered-label values come from
+        the grouped one-hot pick. True scores are the spo-path triple
+        scores for both directions, matching the reference
+        (eval_entity_ranking.py:186-203). Returns None when the scorer
+        doesn't factorize or any ranking uses the flat coordinate
+        layout."""
+        E = self.dataset.num_entities()
+        for r, v in coords.items():
+            if r != "_filt_union" and len(v) != 1:
+                return None
+        triples = jnp.stack([s, p, o], axis=1)
+        multi = self.model.score_all_grouped_multi(params, triples, (0, 2))
+        if multi is None:
+            return None
+        pos, sp3 = multi[2]   # o-candidates (sp_ direction)
+        _, po3 = multi[0]     # s-candidates (_po direction)
+        n, G = sp3.shape[0], sp3.shape[1]
+        gidx = jax.lax.broadcasted_iota(jnp.int32, (1, G, 128), 1)
+        lidx = jax.lax.broadcasted_iota(jnp.int32, (1, G, 128), 2)
+        flat = gidx * 128 + lidx
+        col_valid = flat < E
+        true3 = pos[:, None, None]
+
+        def side(S3, ids):
+            close, greater = self._close_greater(S3, true3)
+            g_cnt = jnp.sum(greater & col_valid, axis=(1, 2)).astype(jnp.int32)
+            c_cnt = jnp.sum(close & col_valid, axis=(1, 2)).astype(jnp.int32)
+            # true-position value, fused with the same S3 read
+            onehot = (flat == ids[:, None, None]).astype(S3.dtype)
+            mat = jnp.sum(S3 * onehot, axis=(1, 2))
+            return g_cnt, c_cnt, mat
+
+        go, co, mat_o = side(sp3, o)
+        gs, cs, mat_s = side(po3, s)
+        tol = self.tie_atol + self.tie_rtol * jnp.abs(pos)
+        max_diff = jnp.maximum(
+            jnp.max(jnp.abs(mat_o - pos) - tol),
+            jnp.max(jnp.abs(mat_s - pos) - tol),
+        ).astype(jnp.float32)
+        results = {"_raw": (gs, cs, go, co)}
+        raw = results["_raw"]
+
+        def pick_masks(cols3):
+            """One grouped pick per coordinate set; returns the
+            (greater, close, is_sp) masks shared by its rankings."""
+            is_sp3 = cols3 < E
+            local3 = jnp.where(is_sp3, cols3, cols3 - E)
+            valid3 = cols3 < 2 * E
+            l3 = jnp.clip(local3, 0, E - 1)
+            vals = jnp.where(
+                is_sp3,
+                picked_scores_grouped(sp3, l3),
+                picked_scores_grouped(po3, l3),
+            )
+            close, greater = self._close_greater(vals, pos[:, None])
+            return greater & valid3, close & valid3, is_sp3
+
+        def counts(greater, close, is_sp3, keep=None):
+            if keep is not None:
+                greater &= keep
+                close &= keep
+            return tuple(
+                jnp.maximum(raw[i] - jnp.sum(m, axis=1), 0)
+                for i, m in enumerate((
+                    greater & ~is_sp3, close & ~is_sp3,
+                    greater & is_sp3, close & is_sp3,
+                ))
+            )
+
+        for r, v in coords.items():
+            if r == "_filt_union":
+                cols3, infilt3 = v
+                g3, c3, is3 = pick_masks(cols3)
+                results["_filt"] = counts(g3, c3, is3, keep=infilt3 != 0)
+                results["_filt_test"] = counts(g3, c3, is3)
+            else:
+                results[r] = counts(*pick_masks(v[0]))
+        return results, max_diff
+
     def _rank_batch(self, params, s, p, o, coords):
         """Rank one batch: raw (rank, tie) counts from chunked full-vocabulary
         scores, minus gathered per-positive counts for each filtered ranking.
@@ -221,6 +311,11 @@ class EntityRankingJob(EvaluationJob):
         c = self.chunk_size
         num_chunks = (E + c - 1) // c
         rows_n = jnp.arange(n)
+
+        if num_chunks == 1 and c >= E:
+            grouped = self._rank_batch_grouped(params, s, p, o, coords)
+            if grouped is not None:
+                return grouped
 
 
         # true scores via the sp_/_po scoring path for float consistency with
