@@ -242,7 +242,7 @@ def _pooled_scores_impl(qs, pool3s, sel, F, kind):
         ).reshape(F * K_pad, d_pad)
         for p in pool3s
     ]
-    tile_n, tile_d = _tiles(K_pad, d_pad, n_pad, len(qs), temps=3)
+    tile_n, tile_d = _tiles(K_pad, d_pad, n_pad, len(qs), temps=2)
     out = _run_fwd(qs_p, pools_fm, sel_p, F=F, K=K_pad,
                    tile_n=tile_n, tile_d=tile_d)
     return out[:n, :K]
@@ -267,7 +267,7 @@ def _pooled_scores_bwd(F, kind, res, g):
         ).reshape(F * K_pad, d_pad)
         for p in pool3s
     ]
-    tile_n, tile_d = _tiles(K_pad, d_pad, n_pad, len(qs), temps=4)
+    tile_n, tile_d = _tiles(K_pad, d_pad, n_pad, len(qs), temps=3)
     dqs, dpools = _run_bwd(qs_p, pools_fm, sel_p, g_p, F=F, K=K_pad,
                            tile_n=tile_n, tile_d=tile_d)
     dqs = tuple(dq[:n, :d] for dq in dqs)
