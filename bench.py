@@ -9,8 +9,16 @@ Measures, in priority order within a wall-clock budget:
 3. ``negsamp_perrow_exact`` — 128 per-row negatives, implementation "all"
    (fully independent rows, the reference's exact semantics; gather-free
    grouped score picks, ops/pick.py)
-4. ``kvsall``          — full-vocabulary KvsAll queries/s
-5. ``eval_filtered``   — filtered entity-ranking triples/s
+4. ``transe_margin``   — TransE-L1 d=128, margin ranking, 128 per-row
+   negatives (the BASELINE distance-model workload)
+5. ``rotate_selfadv``  — RotatE-L1 d=1024, self-adversarial BCE, Adam
+   (fused pooled-distance kernel, ops/dist_pool.py)
+6. ``kvsall``          — full-vocabulary KvsAll queries/s
+7. ``eval_filtered``   — filtered entity-ranking triples/s
+
+``extra.roofline`` reports each stage's achieved TFLOP/s and GB/s from
+closed-form work models against v5e peaks, with the limiting resource
+named (the units BASELINE's "speed-of-light" target is written in).
 
 All on a synthetic FB15k-237-shaped dataset (14541 entities / 237
 relations / 272k train triples). Prints ONE JSON line with the headline
