@@ -208,7 +208,14 @@ def _work_models():
 
 def roofline():
     models = _work_models()
-    out = {}
+    out = {
+        "note": (
+            "closed-form work models (~10% accuracy): they rank headroom; "
+            ">=100% means the stage sits at its engine's roofline within "
+            "model error. eval additionally carries a fixed ~22 ms "
+            "dispatch+fetch round trip per evaluation (axon tunnel)."
+        )
+    }
     for key, rate in RESULTS.items():
         m = models.get(key)
         if not m:
