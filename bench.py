@@ -363,9 +363,10 @@ def stage_eval(quick=False):
     t0 = time.time()
     job._evaluate()  # compile + first run
     warmup = time.time() - t0
-    # an eval pass is ~0.1s; take the best of two to shake off host jitter
+    # an eval pass is ~0.07s with a ~22 ms fetch round trip; take the best
+    # of four to shake off tunnel/host jitter
     dt = float("inf")
-    for _ in range(2):
+    for _ in range(4):
         t0 = time.time()
         trace = job._evaluate()
         dt = min(dt, time.time() - t0)

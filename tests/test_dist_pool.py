@@ -109,3 +109,36 @@ def test_bad_arity_raises():
         pooled_dist_scores([q, q], [pool, pool], sel, 2, "l1")
     with pytest.raises(ValueError):
         pooled_dist_scores([q], [pool], sel, 2, "nope")
+
+
+@pytest.mark.parametrize("kind,npairs", [("l1", 1), ("cmod", 2)])
+def test_bench_shape_f8_values_and_grads(kind, npairs):
+    """pool_factor=8 (the config default / bench shape) through values and
+    gradients."""
+    rng = np.random.default_rng(7)
+    n, K, F, d = 8, 16, 8, 32
+    qs = [jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+          for _ in range(npairs)]
+    pools = [jnp.asarray(rng.normal(size=(K * F, d)).astype(np.float32))
+             for _ in range(npairs)]
+    sel = jnp.asarray(rng.integers(0, F, size=(n, K)).astype(np.int32))
+    w = jnp.asarray(rng.normal(size=(n, K)).astype(np.float32))
+    ref_fn = _ref_l1 if kind == "l1" else _ref_cmod
+
+    def loss_kernel(*a):
+        return jnp.sum(
+            w * pooled_dist_scores(a[:npairs], a[npairs:], sel, F, kind)
+        )
+
+    def loss_ref(*a):
+        return jnp.sum(w * ref_fn(*a, sel, F))
+
+    args = (*qs, *pools)
+    np.testing.assert_allclose(
+        float(loss_kernel(*args)), float(loss_ref(*args)), rtol=1e-5
+    )
+    gk = jax.grad(loss_kernel, argnums=tuple(range(2 * npairs)))(*args)
+    gr = jax.grad(loss_ref, argnums=tuple(range(2 * npairs)))(*args)
+    for a, b in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
