@@ -226,6 +226,11 @@ class EntityRankingJob(EvaluationJob):
         doesn't factorize or any ranking uses the flat coordinate
         layout."""
         E = self.dataset.num_entities()
+        if getattr(self.model, "_ring_mesh", None) is not None:
+            # model-axis sharding: score_sp/score_po route through the
+            # explicit ppermute-ring schedule (vocab-axis scaling); the
+            # grouped path's embed_all would all-gather the sharded table
+            return None
         for r, v in coords.items():
             if r != "_filt_union" and len(v) != 1:
                 return None
