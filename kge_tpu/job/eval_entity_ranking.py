@@ -245,19 +245,25 @@ class EntityRankingJob(EvaluationJob):
         lidx = jax.lax.broadcasted_iota(jnp.int32, (1, G, 128), 2)
         flat = gidx * 128 + lidx
         col_valid = flat < E
-        true3 = pos[:, None, None]
 
         def side(S3, ids):
-            close, greater = self._close_greater(S3, true3)
-            g_cnt = jnp.sum(greater & col_valid, axis=(1, 2)).astype(jnp.int32)
-            c_cnt = jnp.sum(close & col_valid, axis=(1, 2)).astype(jnp.int32)
-            # true-position value, fused with the same S3 read
+            # true score = the matrix's own entry at the true position
+            # (extracted by an elementwise one-hot reduce): ranking is then
+            # self-consistent whatever the matmul precision class — the
+            # true position ties with itself exactly, like the reference's
+            # scores[:, o] = o_score replacement
             onehot = (flat == ids[:, None, None]).astype(S3.dtype)
             mat = jnp.sum(S3 * onehot, axis=(1, 2))
+            close, greater = self._close_greater(S3, mat[:, None, None])
+            g_cnt = jnp.sum(greater & col_valid, axis=(1, 2)).astype(jnp.int32)
+            c_cnt = jnp.sum(close & col_valid, axis=(1, 2)).astype(jnp.int32)
             return g_cnt, c_cnt, mat
 
         go, co, mat_o = side(sp3, o)
         gs, cs, mat_s = side(po3, s)
+        # consistency: the spo scoring path vs the many-targets matmul path
+        # (on TPU the default-precision matmul rounds inputs to bf16, so
+        # this can exceed the f32-scale tie tolerances; warn_only governs)
         tol = self.tie_atol + self.tie_rtol * jnp.abs(pos)
         max_diff = jnp.maximum(
             jnp.max(jnp.abs(mat_o - pos) - tol),
@@ -278,7 +284,8 @@ class EntityRankingJob(EvaluationJob):
                 picked_scores_grouped(sp3, l3),
                 picked_scores_grouped(po3, l3),
             )
-            close, greater = self._close_greater(vals, pos[:, None])
+            true3 = jnp.where(is_sp3, mat_o[:, None], mat_s[:, None])
+            close, greater = self._close_greater(vals, true3)
             return greater & valid3, close & valid3, is_sp3
 
         def counts(greater, close, is_sp3, keep=None):
