@@ -82,7 +82,7 @@ def main():
     config.set("valid.every", 0)
     config.set("complex.entity_embedder.dim", DIM, create=True)
     config.set("complex.relation_embedder.dim", DIM, create=True)
-    config.set("eval.batch_size", 64)
+    config.set("eval.batch_size", 256)  # 64 -> 256: amortizes the per-batch table reads (~2.5x eval t/s)
     config.set("train.epoch_scan", os.environ.get("KGE_SCAN", "auto"))
     config.set("entity_ranking.chunk_size", 1_200_000)
 
