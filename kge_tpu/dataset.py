@@ -138,20 +138,36 @@ class Dataset(Configurable):
             for f in ("train.txt", "valid.txt", "test.txt")
         ]
         expected = config.get_default("dataset.from_dir_checksum")
+        preprocessed = os.path.isfile(os.path.join(from_dir, "dataset.yaml"))
         if expected:
-            h = hashlib.sha256()
-            for path in raw:
-                if os.path.isfile(path):
+            missing = [p for p in raw if not os.path.isfile(p)]
+            if missing and preprocessed:
+                # raw splits removed after a previously verified ingest:
+                # the preprocessed dataset stands on its own
+                config.log(
+                    "dataset.from_dir_checksum set but raw splits are gone; "
+                    "using the already-preprocessed dataset"
+                )
+            elif missing:
+                raise IOError(
+                    "dataset.from_dir_checksum set but raw split files are "
+                    f"missing: {', '.join(os.path.basename(m) for m in missing)}"
+                )
+            else:
+                h = hashlib.sha256()
+                for path in raw:
                     with open(path, "rb") as f:
                         h.update(f.read())
-            digest = h.hexdigest()
-            if digest != expected:
-                raise ValueError(
-                    f"dataset.from_dir checksum mismatch: expected "
-                    f"{expected}, got {digest}"
+                digest = h.hexdigest()
+                if digest != expected:
+                    raise ValueError(
+                        f"dataset.from_dir checksum mismatch: expected "
+                        f"{expected}, got {digest}"
+                    )
+                config.log(
+                    f"dataset.from_dir checksum verified ({digest[:12]}...)"
                 )
-            config.log(f"dataset.from_dir checksum verified ({digest[:12]}...)")
-        if os.path.isfile(os.path.join(from_dir, "dataset.yaml")):
+        if preprocessed:
             return from_dir
         if all(os.path.isfile(p) for p in raw):
             from kge_tpu.data.preprocess import preprocess_default

@@ -238,8 +238,10 @@ class EntityRankingJob(EvaluationJob):
         multi = self.model.score_all_grouped_multi(params, triples, (0, 2))
         if multi is None:
             return None
-        pos, sp3 = multi[2]   # o-candidates (sp_ direction)
-        _, po3 = multi[0]     # s-candidates (_po direction)
+        pos_o, sp3 = multi[2]   # o-candidates (sp_ direction)
+        pos_s, po3 = multi[0]   # s-candidates (_po direction; differs from
+                                # pos_o for reciprocal models, which score
+                                # the s direction with relation p + |R|)
         n, G = sp3.shape[0], sp3.shape[1]
         gidx = jax.lax.broadcasted_iota(jnp.int32, (1, G, 128), 1)
         lidx = jax.lax.broadcasted_iota(jnp.int32, (1, G, 128), 2)
@@ -264,10 +266,11 @@ class EntityRankingJob(EvaluationJob):
         # consistency: the spo scoring path vs the many-targets matmul path
         # (on TPU the default-precision matmul rounds inputs to bf16, so
         # this can exceed the f32-scale tie tolerances; warn_only governs)
-        tol = self.tie_atol + self.tie_rtol * jnp.abs(pos)
         max_diff = jnp.maximum(
-            jnp.max(jnp.abs(mat_o - pos) - tol),
-            jnp.max(jnp.abs(mat_s - pos) - tol),
+            jnp.max(jnp.abs(mat_o - pos_o)
+                    - (self.tie_atol + self.tie_rtol * jnp.abs(pos_o))),
+            jnp.max(jnp.abs(mat_s - pos_s)
+                    - (self.tie_atol + self.tie_rtol * jnp.abs(pos_s))),
         ).astype(jnp.float32)
         results = {"_raw": (gs, cs, go, co)}
         raw = results["_raw"]

@@ -157,7 +157,9 @@ class TransEScorer(RelationalScorer):
 
                 out = _map_over_targets(chunk_scores, s_emb, n)
         elif combine == "s_o" and self._norm == 2.0:
-            out = _l2_expanded(o_emb - s_emb, p_emb)
+            # rows are the (s, o) pairs here — n (= p count) would scramble
+            # the reshape
+            return _l2_expanded(o_emb - s_emb, p_emb)
         else:
             return super().score_emb(params, s_emb, p_emb, o_emb, combine, ctx)
         return out.reshape(n, -1)
@@ -238,11 +240,14 @@ def _force_triple_negatives(model, job):
         )
         shared = config.get("negative_sampling.shared")
         on_device_ok = config.get("negative_sampling.on_device") != "never"
-        choice = (
-            "pool" if not filtering and not shared and on_device_ok
-            else "triple"
+        pool_ok = (
+            not filtering and not shared and on_device_ok
+            and not config.get("negative_sampling.auto_exact")
         )
-        config.set("negative_sampling.implementation", choice, log=True)
+        config.set(
+            "negative_sampling.implementation",
+            "pool" if pool_ok else "triple", log=True,
+        )
 
 
 class TransHScorer(RelationalScorer):

@@ -216,7 +216,7 @@ def _run_bwd(qs, pools_fm, sel, g, *, F, K, tile_n, tile_d):
 def _tiles(K_pad: int, d_pad: int, n: int, npairs: int, temps: int):
     """Row/dim tile sizes sized so ``temps`` live [tn, K, dt] buffers per
     pair fit the 16 MB scoped-vmem limit with headroom."""
-    tile_d = min(d_pad, 256)
+    tile_d = 256 if d_pad % 256 == 0 else 128  # d_pad is a multiple of 128
     budget = (10 << 20) // (temps * npairs * K_pad * tile_d * 4)
     tile_n = max(8, min(n, 1 << max(0, budget.bit_length() - 1)))
     while n % tile_n:

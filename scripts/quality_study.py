@@ -369,6 +369,8 @@ def main():
                 )
     else:
         results = load_results(results_json)
+    if not results:
+        sys.exit(f"no accumulated results in {results_json}; run recipes first")
 
     by_recipe = {}
     for r in results:

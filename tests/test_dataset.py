@@ -163,3 +163,51 @@ def test_from_dir_ingests_raw_splits(tmp_path):
     config3.set("dataset.from_dir", str(d))
     dataset3 = Dataset.create(config3)
     assert len(dataset3.split("test")) == 1
+
+
+def test_from_dir_checksum_after_raw_removal(tmp_path):
+    """A preprocessed from_dir with the raw splits deleted must keep
+    loading even when a checksum is configured (it was verified at ingest
+    time); a raw-less UN-preprocessed dir with a checksum must error."""
+    import hashlib
+
+    from kge_tpu import Config, Dataset
+
+    d = tmp_path / "rawset2"
+    d.mkdir()
+    (d / "train.txt").write_text("a\tr1\tb\nb\tr1\tc\nc\tr1\ta\n")
+    (d / "valid.txt").write_text("a\tr1\tc\n")
+    (d / "test.txt").write_text("c\tr1\tb\n")
+    h = hashlib.sha256()
+    for f in ("train.txt", "valid.txt", "test.txt"):
+        h.update((d / f).read_bytes())
+    digest = h.hexdigest()
+
+    config = Config()
+    config.set("console.quiet", True)
+    config.set("dataset.name", "rawset2")
+    config.set("dataset.from_dir", str(d))
+    config.set("dataset.from_dir_checksum", digest)
+    Dataset.create(config)  # ingests + verifies
+
+    for f in ("train.txt", "valid.txt", "test.txt"):
+        (d / f).unlink()
+    config2 = Config()
+    config2.set("console.quiet", True)
+    config2.set("dataset.name", "rawset2")
+    config2.set("dataset.from_dir", str(d))
+    config2.set("dataset.from_dir_checksum", digest)
+    ds = Dataset.create(config2)
+    assert len(ds.split("train")) == 3
+
+    import pytest as _pytest
+
+    empty = tmp_path / "nothing"
+    empty.mkdir()
+    config3 = Config()
+    config3.set("console.quiet", True)
+    config3.set("dataset.name", "nothing")
+    config3.set("dataset.from_dir", str(empty))
+    config3.set("dataset.from_dir_checksum", digest)
+    with _pytest.raises(IOError, match="missing"):
+        Dataset.create(config3)

@@ -142,3 +142,22 @@ def test_bench_shape_f8_values_and_grads(kind, npairs):
     for a, b in zip(gk, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_dim_not_multiple_of_tile():
+    """d=384 (128-padded but not a multiple of the 256 dim tile) must not
+    silently drop trailing dims — caught by review."""
+    rng = np.random.default_rng(11)
+    n, K, F, d = 8, 8, 4, 384
+    q = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    pool = jnp.asarray(rng.normal(size=(K * F, d)).astype(np.float32))
+    sel = jnp.asarray(rng.integers(0, F, size=(n, K)).astype(np.int32))
+    out = pooled_dist_scores([q], [pool], sel, F, "l1")
+    ref = _ref_l1(q, pool, sel, F)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    g = jax.grad(lambda q, p: jnp.sum(
+        pooled_dist_scores([q], [p], sel, F, "l1")))(q, pool)
+    gr = jax.grad(lambda q, p: jnp.sum(_ref_l1(q, p, sel, F)))(q, pool)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gr),
+                               rtol=1e-4, atol=1e-5)

@@ -50,3 +50,31 @@ def test_perrow_and_flat_layouts_agree(tmp_path):
         assert np.isclose(perrow[k], flat[k], atol=0), (
             k, perrow[k], flat[k]
         )
+
+
+def test_reciprocal_grouped_consistency_clean(tmp_path):
+    """Grouped-path eval of a reciprocal model must use the per-direction
+    positive scores for the consistency check (on CPU the paths agree
+    exactly, so max excess must be <= 0) — caught by review."""
+    from kge_tpu import Config, Dataset
+    from kge_tpu.job import EvaluationJob
+    from kge_tpu.models import KgeModel
+
+    folder = make_synthetic_dataset(
+        tmp_path / "recip_synth", num_entities=40, num_relations=5,
+        num_train=300, num_valid=30, num_test=30, seed=9,
+    )
+    config = Config()
+    config.set("console.quiet", True)
+    config.load_options({"model": "reciprocal_relations_model"})
+    config.set("reciprocal_relations_model.base_model.type", "complex")
+    config.set("dataset.name", "recip_synth")
+    config.set("eval.split", "valid")
+    config.set("entity_ranking.tie_handling.warn_only", False)
+    dataset = Dataset.create(config, folder=str(folder))
+    model = KgeModel.create(config, dataset)
+    job = EvaluationJob.create(config, dataset, model=model)
+    job.model_params = model.init_params(jax.random.PRNGKey(2))
+    job.epoch = 0
+    trace = job._evaluate()  # raises ValueError if the check trips
+    assert np.isfinite(trace["mean_reciprocal_rank_filtered"])

@@ -217,3 +217,46 @@ def test_l2_exact_all_implementation_trains(model):
         losses[impl] = float(val)
     np.testing.assert_allclose(losses["all"], losses["triple"],
                                rtol=1e-5, atol=1e-6)
+
+
+def test_transe_l2_score_so_shape_and_values():
+    """s_o with n_batch != num_relations: the L2 expansion must return
+    [n, R] row-aligned scores (a reshape keyed on the relation count
+    scrambled this — caught by review)."""
+    import jax.numpy as jnp
+
+    m, params = _make_model("transe", 2.0)
+    R = m.dataset.num_relations()
+    s = jnp.asarray([0, 1, 2, 3, 4])   # 5 rows vs R=3 relations
+    o = jnp.asarray([3, 4, 5, 6, 0])
+    out = m.score_so(params, s, o)
+    assert out.shape == (5, R)
+    for i in range(5):
+        for p in range(R):
+            expected = m.score_spo(
+                params, s[i:i+1], jnp.asarray([p]), o[i:i+1]
+            )
+            np.testing.assert_allclose(
+                float(out[i, p]), float(expected[0]), rtol=1e-4, atol=1e-4
+            )
+
+
+def test_distance_auto_exact_respected():
+    """auto_exact=True must keep pairwise distance models off the pool
+    implementation (rows correlate through the shared pool)."""
+    from kge_tpu.job import TrainingJob
+
+    config = get_test_config(**{
+        "train.type": "negative_sampling",
+        "negative_sampling.num_samples.s": 4,
+        "negative_sampling.auto_exact": True,
+        "train.batch_size": 6,
+        "valid.every": 0,
+        "lookup_embedder.dim": 16,
+    })
+    config.load_options({"model": "transe"})
+    config.set("transe.l_norm", 1.0)
+    dataset = get_test_dataset(config)
+    job = TrainingJob.create(config, dataset)
+    job._prepare()
+    assert config.get("negative_sampling.implementation") == "triple"
