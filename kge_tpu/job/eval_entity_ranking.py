@@ -401,85 +401,52 @@ class EntityRankingJob(EvaluationJob):
             )
 
             # filtered rankings: subtract gathered positive contributions
+            def perrow_masks(cols3):
+                """(greater, close, is_sp) masks for per-row label columns
+                [n, kmax] in this chunk window: one bit-exact one-hot pick
+                per side (no scalar gathers, no segment scatters — XLA's
+                TPU gather/scatter at ~26 ns/element was 56% of eval
+                device time), no [n, 2c] concat copy."""
+                is_sp3 = cols3 < E
+                local3 = jnp.where(
+                    is_sp3, cols3 - chunk_start, cols3 - E - chunk_start
+                )
+                valid3 = (local3 >= 0) & (local3 < c) & (cols3 < 2 * E)
+                l3 = jnp.clip(local3, 0, c - 1)
+                vals = jnp.where(
+                    is_sp3,
+                    picked_scores(scores_sp, l3),
+                    picked_scores(scores_po, l3),
+                )
+                true3 = jnp.where(is_sp3, o_true[:, None], s_true[:, None])
+                close, greater = self._close_greater(vals, true3)
+                return greater & valid3, close & valid3, is_sp3
+
+            def perrow_update(rk, greater, close, is_sp3, keep=None):
+                if keep is not None:
+                    greater &= keep
+                    close &= keep
+                sub = acc[rk]
+                out[rk] = tuple(
+                    sub[i] + jnp.sum(m.astype(jnp.int32), axis=1)
+                    for i, m in enumerate((
+                        greater & ~is_sp3, close & ~is_sp3,
+                        greater & is_sp3, close & is_sp3,
+                    ))
+                )
+
             for ranking in coords:
                 if ranking == "_filt_union":
                     # one pick over the _filt_test coords; the membership
                     # mask splits the counts into both rankings
                     cols3, infilt3 = coords[ranking]
-                    is_sp3 = cols3 < E
-                    local3 = jnp.where(
-                        is_sp3, cols3 - chunk_start,
-                        cols3 - E - chunk_start,
-                    )
-                    valid3 = (local3 >= 0) & (local3 < c) & (cols3 < 2 * E)
-                    l3 = jnp.clip(local3, 0, c - 1)
-                    # two picks (no [n, 2c] concat copy); the unused
-                    # side's values are discarded by the select
-                    vals = jnp.where(
-                        is_sp3,
-                        picked_scores(scores_sp, l3),
-                        picked_scores(scores_po, l3),
-                    )
-                    true3 = jnp.where(
-                        is_sp3, o_true[:, None], s_true[:, None]
-                    )
-                    close, greater = self._close_greater(vals, true3)
-                    close &= valid3
-                    greater &= valid3
-                    for rk, keep in (
-                        ("_filt", infilt3 != 0), ("_filt_test", None)
-                    ):
-                        g = greater if keep is None else greater & keep
-                        cl = close if keep is None else close & keep
-                        sub = acc[rk]
-                        out[rk] = (
-                            sub[0] + jnp.sum(
-                                (g & ~is_sp3).astype(jnp.int32), axis=1),
-                            sub[1] + jnp.sum(
-                                (cl & ~is_sp3).astype(jnp.int32), axis=1),
-                            sub[2] + jnp.sum(
-                                (g & is_sp3).astype(jnp.int32), axis=1),
-                            sub[3] + jnp.sum(
-                                (cl & is_sp3).astype(jnp.int32), axis=1),
-                        )
+                    g3, c3, is3 = perrow_masks(cols3)
+                    perrow_update("_filt", g3, c3, is3, keep=infilt3 != 0)
+                    perrow_update("_filt_test", g3, c3, is3)
                     continue
                 if len(coords[ranking]) == 1:
-                    # per-row layout: one bit-exact one-hot pick per
-                    # ranking — no scalar gathers, no segment scatters
-                    # (XLA's TPU gather/scatter at ~26 ns/element was 56%
-                    # of eval device time)
                     (cols3,) = coords[ranking]  # [n, kmax], sentinel 2E
-                    is_sp3 = cols3 < E
-                    local3 = jnp.where(
-                        is_sp3, cols3 - chunk_start,
-                        cols3 - E - chunk_start,
-                    )
-                    valid3 = (local3 >= 0) & (local3 < c) & (cols3 < 2 * E)
-                    l3 = jnp.clip(local3, 0, c - 1)
-                    # two picks (no [n, 2c] concat copy); the unused
-                    # side's values are discarded by the select
-                    vals = jnp.where(
-                        is_sp3,
-                        picked_scores(scores_sp, l3),
-                        picked_scores(scores_po, l3),
-                    )
-                    true3 = jnp.where(
-                        is_sp3, o_true[:, None], s_true[:, None]
-                    )
-                    close, greater = self._close_greater(vals, true3)
-                    close &= valid3
-                    greater &= valid3
-                    sub = acc[ranking]
-                    out[ranking] = (
-                        sub[0] + jnp.sum(
-                            (greater & ~is_sp3).astype(jnp.int32), axis=1),
-                        sub[1] + jnp.sum(
-                            (close & ~is_sp3).astype(jnp.int32), axis=1),
-                        sub[2] + jnp.sum(
-                            (greater & is_sp3).astype(jnp.int32), axis=1),
-                        sub[3] + jnp.sum(
-                            (close & is_sp3).astype(jnp.int32), axis=1),
-                    )
+                    perrow_update(ranking, *perrow_masks(cols3))
                     continue
                 lab_rows, lab_cols = coords[ranking]
                 is_sp = lab_cols < E
@@ -676,35 +643,50 @@ class EntityRankingJob(EvaluationJob):
     # the flat coordinate layout is smaller/faster
     _PERROW_BUDGET = 64 << 20
 
+    def _perrow_positions(self, lst):
+        """Per-batch CSR packing of flat (rows, cols) coords into per-row
+        slots: yields (i, sorted_rows, sorted_cols, slot_positions), with
+        the shared kmax (bucketed), or None when row skew exceeds the
+        per-row budget."""
+        n = self.batch_size
+        kmax = 0
+        for rows, _ in lst:
+            if len(rows):
+                kmax = max(kmax, int(np.bincount(rows, minlength=n).max()))
+        kmax = max(_bucket(kmax, 32), 32)
+        if len(lst) * n * kmax > self._PERROW_BUDGET:
+            return None, kmax
+
+        def packed():
+            for i, (rows, cols) in enumerate(lst):
+                if not len(rows):
+                    continue
+                order = np.argsort(rows, kind="stable")
+                r_s, c_s = rows[order], cols[order]
+                starts = np.concatenate(
+                    [[0], np.cumsum(np.bincount(r_s, minlength=n))]
+                )
+                pos = np.arange(len(r_s)) - starts[r_s]
+                yield i, r_s, c_s, pos
+
+        return packed, kmax
+
     def _perrow_union_layout(self, filt_lst, test_lst, E):
         """(cols3, in_filt3) per-row layout of the _filt_test coords with a
         membership mask marking which also belong to _filt, or None when
         the per-row budget is exceeded."""
         n = self.batch_size
-        kmax = 0
-        for rows, _ in test_lst:
-            if len(rows):
-                kmax = max(kmax, int(np.bincount(rows, minlength=n).max()))
-        kmax = max(_bucket(kmax, 32), 32)
-        if len(test_lst) * n * kmax > self._PERROW_BUDGET:
+        packed, kmax = self._perrow_positions(test_lst)
+        if packed is None:
             return None
         cols3 = np.full((len(test_lst), n, kmax), 2 * E, dtype=np.int32)
         infilt3 = np.zeros((len(test_lst), n, kmax), dtype=np.int32)
-        for i, ((f_rows, f_cols), (t_rows, t_cols)) in enumerate(
-            zip(filt_lst, test_lst)
-        ):
-            if not len(t_rows):
-                continue
-            order = np.argsort(t_rows, kind="stable")
-            r_s, c_s = t_rows[order], t_cols[order]
+        for i, r_s, c_s, pos in packed():
+            f_rows, f_cols = filt_lst[i]
             member = np.isin(
                 r_s.astype(np.int64) * (2 * E) + c_s,
                 f_rows.astype(np.int64) * (2 * E) + f_cols,
             )
-            starts = np.concatenate(
-                [[0], np.cumsum(np.bincount(r_s, minlength=n))]
-            )
-            pos = np.arange(len(r_s)) - starts[r_s]
             cols3[i, r_s, pos] = c_s
             infilt3[i, r_s, pos] = member
         return cols3, infilt3
@@ -713,23 +695,11 @@ class EntityRankingJob(EvaluationJob):
         """[B, n, kmax] per-row label columns (sentinel 2E pads), or None
         when row skew makes the padded layout bigger than the budget."""
         n = self.batch_size
-        kmax = 0
-        for rows, _ in lst:
-            if len(rows):
-                kmax = max(kmax, int(np.bincount(rows, minlength=n).max()))
-        kmax = max(_bucket(kmax, 32), 32)
-        if len(lst) * n * kmax > self._PERROW_BUDGET:
+        packed, kmax = self._perrow_positions(lst)
+        if packed is None:
             return None
         out = np.full((len(lst), n, kmax), 2 * E, dtype=np.int32)
-        for i, (rows, cols) in enumerate(lst):
-            if not len(rows):
-                continue
-            order = np.argsort(rows, kind="stable")
-            r_s, c_s = rows[order], cols[order]
-            starts = np.concatenate(
-                [[0], np.cumsum(np.bincount(r_s, minlength=n))]
-            )
-            pos = np.arange(len(r_s)) - starts[r_s]
+        for i, r_s, c_s, pos in packed():
             out[i, r_s, pos] = c_s
         return out
 

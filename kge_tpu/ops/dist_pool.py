@@ -37,15 +37,8 @@ import jax.numpy as jnp
 _EPS = 1e-30
 
 
-def _pad_to(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
-
-
-def _interpret() -> bool:
-    try:
-        return jax.default_backend() != "tpu"
-    except Exception:  # pragma: no cover
-        return True
+from kge_tpu.ops.kernel_utils import interpret as _interpret
+from kge_tpu.ops.kernel_utils import pad_to as _pad_to
 
 
 # ---------------------------------------------------------------- forward
