@@ -139,20 +139,28 @@ class Dataset(Configurable):
         ]
         expected = config.get_default("dataset.from_dir_checksum")
         preprocessed = os.path.isfile(os.path.join(from_dir, "dataset.yaml"))
+        stamp = os.path.join(from_dir, ".from_dir_verified")
         if expected:
             missing = [p for p in raw if not os.path.isfile(p)]
-            if missing and preprocessed:
-                # raw splits removed after a previously verified ingest:
-                # the preprocessed dataset stands on its own
-                config.log(
-                    "dataset.from_dir_checksum set but raw splits are gone; "
-                    "using the already-preprocessed dataset"
-                )
-            elif missing:
-                raise IOError(
-                    "dataset.from_dir_checksum set but raw split files are "
-                    f"missing: {', '.join(os.path.basename(m) for m in missing)}"
-                )
+            if missing:
+                # raw splits absent: only a recorded verification of THIS
+                # digest keeps the zero-trust property — dataset.yaml alone
+                # proves nothing about the data's provenance
+                recorded = None
+                if os.path.isfile(stamp):
+                    with open(stamp) as f:
+                        recorded = f.read().strip()
+                if preprocessed and recorded == expected:
+                    config.log(
+                        "dataset.from_dir raw splits are gone; ingest was "
+                        "previously verified against this checksum"
+                    )
+                else:
+                    raise IOError(
+                        "dataset.from_dir_checksum set but raw split files "
+                        "are missing (and no matching verification stamp): "
+                        f"{', '.join(os.path.basename(m) for m in missing)}"
+                    )
             else:
                 h = hashlib.sha256()
                 for path in raw:
@@ -167,6 +175,11 @@ class Dataset(Configurable):
                 config.log(
                     f"dataset.from_dir checksum verified ({digest[:12]}...)"
                 )
+                try:
+                    with open(stamp, "w") as f:
+                        f.write(digest)
+                except OSError:
+                    pass  # read-only mount: verification just reruns
         if preprocessed:
             return from_dir
         if all(os.path.isfile(p) for p in raw):

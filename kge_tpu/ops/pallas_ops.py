@@ -58,8 +58,7 @@ def gather_mode() -> str:
     return _gather_mode
 
 
-def _pad_to(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+from kge_tpu.ops.kernel_utils import pad_to as _pad_to  # noqa: E402
 
 
 def _scatter_kernel(starts_ref, ids_ref, upd_hbm, out_ref, scratch, sem,

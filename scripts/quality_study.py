@@ -359,6 +359,7 @@ def main():
 
     os.makedirs(args.workdir, exist_ok=True)
     folder = os.path.join(args.workdir, "quality_synth")
+    results = load_results(results_json)
     if not args.md_only:
         generate_dataset(folder)
         print("dataset generated", flush=True)
@@ -367,8 +368,6 @@ def main():
                 results = save_result(
                     results_json, run_recipe(args, folder, name, seed)
                 )
-    else:
-        results = load_results(results_json)
     if not results:
         sys.exit(f"no accumulated results in {results_json}; run recipes first")
 
